@@ -1,0 +1,187 @@
+"""Arch1: late-fusion LSTM VQA baseline (the north-star training workload).
+
+Model definition follows 002_train_vqa_arch1/002_train_baseline.lua:
+  * word embedding = Linear(V, E) -> Dropout(0.5) -> Tanh (:141-144); since
+    the input is one-hot, the Linear is an embedding-row gather plus a shared
+    bias (ops/embedding.py) — the one-hot scatter is never materialized;
+  * question encoder = ``rnn_layer``-layer packed-state LSTM with inter-layer
+    dropout 0.5 (:147, misc/LSTM.lua), run as a masked dense ``lax.scan`` over
+    right-aligned tokens;
+  * the question representation is the *entire* packed final state
+    [c1, h1, ..., cL, hL] of width 2*rnn_size*rnn_layer (:152, state join at
+    misc/LSTM.lua:70);
+  * multimodal head = AxB(2*rnn*layers, nhimage, common, 0.5) -> Dropout(0.5)
+    -> Linear(common, num_output) (:151-154);
+  * loss = CrossEntropy over 1-indexed answers (:157).
+
+The variants 003_train_ae_based*.lua reuse this module with
+``rnn_layer=1, input_encoding_size=512`` and AE-initialized weights, and
+003_train_ae_based_wp.lua swaps AxB for AskipB (``fusion="askipb"``,
+misc/netdef.lua:16-25).
+
+Everything (fwd, bwd, grad clamp, rmsprop update, lr decay) runs in ONE jitted
+``train_step`` — the reference's host-driven JdJ closure with 26 cloned cells
+and flat-vector scatter/gather (:272-335) collapses into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from novel_vqa_tpu.ops import (
+    axb_apply,
+    askipb_apply,
+    axb_init,
+    cross_entropy,
+    dropout,
+    embedding_lookup,
+    lstm_encode,
+    lstm_layer_init,
+    pack_state,
+)
+from novel_vqa_tpu.ops import optim as ref_optim
+
+
+class Arch1Config(NamedTuple):
+    vocab_size: int
+    input_encoding_size: int = 200  # -input_encoding_size (:34)
+    rnn_size: int = 512  # -rnn_size (:35)
+    rnn_layer: int = 2  # -rnn_layer (:36)
+    nhimage: int = 4096  # -nhimage (:33)
+    common_embedding_size: int = 1024  # -common_embedding_size (:37)
+    num_output: int = 1000  # -num_output (:38)
+    dropout: float = 0.5
+    fusion: str = "axb"  # "axb" | "askipb" (wp variant)
+
+
+def init_params(rng: jax.Array, cfg: Arch1Config) -> Dict[str, Any]:
+    """uniform(-0.08, 0.08) everywhere (:174-181)."""
+    ks = jax.random.split(rng, 4 + cfg.rnn_layer)
+    u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -0.08, 0.08)
+    layers = []
+    for i in range(cfg.rnn_layer):
+        in_size = cfg.input_encoding_size if i == 0 else cfg.rnn_size
+        layers.append(lstm_layer_init(ks[4 + i], in_size, cfg.rnn_size))
+    return {
+        "embedding": {
+            "w": u(ks[0], (cfg.vocab_size, cfg.input_encoding_size)),
+            "b": u(ks[1], (cfg.input_encoding_size,)),
+        },
+        "encoder": layers,
+        "fusion": axb_init(
+            ks[2],
+            2 * cfg.rnn_size * cfg.rnn_layer,
+            cfg.nhimage,
+            cfg.common_embedding_size,
+        ),
+        "classifier": {
+            "w": u(ks[3], (cfg.common_embedding_size, cfg.num_output)),
+            "b": u(jax.random.fold_in(ks[3], 1), (cfg.num_output,)),
+        },
+    }
+
+
+def apply(
+    params: Dict[str, Any],
+    cfg: Arch1Config,
+    tokens: jax.Array,  # (N, D) right-aligned int tokens, 0 = pad
+    image: jax.Array,  # (N, nhimage) float32 (already L2-normalized)
+    *,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Forward pass -> (N, num_output) answer scores."""
+    if rng is not None:
+        k_emb, k_enc, k_fus, k_cls = jax.random.split(rng, 4)
+    else:
+        k_emb = k_enc = k_fus = k_cls = None
+
+    # embedding: tanh(dropout(W[t] + b)) — Linear->Dropout->Tanh order (:141-144)
+    emb = embedding_lookup(params["embedding"]["w"], tokens, params["embedding"]["b"])
+    if not deterministic:
+        emb = dropout(k_emb, emb, cfg.dropout, deterministic=False)
+    emb = jnp.tanh(emb)
+
+    # encoder over time (time-major for the scan)
+    xs = jnp.swapaxes(emb, 0, 1)  # (D, N, E)
+    mask = jnp.swapaxes((tokens != 0).astype(xs.dtype), 0, 1)  # (D, N)
+    c, h = lstm_encode(
+        params["encoder"],
+        xs,
+        mask,
+        dropout_rate=cfg.dropout,
+        rng=k_enc,
+        deterministic=deterministic,
+    )
+    tv_q = pack_state(c, h)  # (N, 2*rnn*layers)
+
+    fuse = axb_apply if cfg.fusion == "axb" else askipb_apply
+    fused = fuse(
+        params["fusion"],
+        tv_q,
+        image,
+        dropout_rate=cfg.dropout,
+        rng=k_fus,
+        deterministic=deterministic,
+    )
+    if not deterministic:
+        fused = dropout(k_cls, fused, cfg.dropout, deterministic=False)
+    scores = (
+        jnp.dot(fused, params["classifier"]["w"], preferred_element_type=jnp.float32)
+        + params["classifier"]["b"]
+    )
+    return scores
+
+
+def loss_fn(params, cfg, tokens, image, labels, rng) -> jax.Array:
+    scores = apply(params, cfg, tokens, image, rng=rng, deterministic=False)
+    return cross_entropy(scores, labels)
+
+
+def make_optimizer(
+    learning_rate: float = 3e-4,
+    decay_factor: float = 0.99997592083,  # :78
+    grad_clamp: float = 10.0,  # :329
+    alpha: float = 0.99,
+    epsilon: float = 1e-8,
+) -> optax.GradientTransformation:
+    """clamp(+-10) then reference rmsprop with per-step multiplicative decay
+    (:408-410)."""
+    return optax.chain(
+        ref_optim.clamp(grad_clamp),
+        ref_optim.rmsprop(
+            ref_optim.exponential_decay_schedule(learning_rate, decay_factor),
+            alpha=alpha,
+            epsilon=epsilon,
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def train_step(
+    cfg: Arch1Config,
+    tx: optax.GradientTransformation,
+    params,
+    opt_state,
+    tokens,
+    image,
+    labels,
+    rng,
+):
+    """One fused fwd/bwd/update step (replaces JdJ + optim.rmsprop,
+    002_train_baseline.lua:272-335,408)."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, image, labels, rng)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def eval_step(cfg: Arch1Config, params, tokens, image, labels):
+    scores = apply(params, cfg, tokens, image, deterministic=True)
+    return cross_entropy(scores, labels), scores

@@ -1,0 +1,196 @@
+"""Fused-gate LSTM: single step, multi-layer stack, and masked time scan.
+
+Reference math (001_train_autoencoder/misc/LSTM_encoder.lua:32-50, identical in
+misc/LSTM_decoder.lua:32-50 and 002_train_vqa_arch1/misc/LSTM.lua:41-59):
+
+    gates = x @ Wx + bx + h @ Wh + bh          -- two Linear(4H) fused matmuls
+    i, f, o = sigmoid(gates[0:H]), sigmoid(gates[H:2H]), sigmoid(gates[2H:3H])
+    g       = tanh(gates[3H:4H])
+    c' = f * c + i * g
+    h' = o * tanh(c')
+
+Gate order is [in, forget, out, in_transform] — fixed by the Lua
+``nn.Reshape(4, rnn)`` / ``SplitTable`` at LSTM_encoder.lua:36-43.  Weight
+tensors are stored (in_features, 4H) so the step is a plain ``x @ Wx``; the
+Torch checkpoints store the transpose (out, in) and the converter in
+``core.checkpoint`` handles the flip.  Keeping ``bx``/``bh`` separate (they are
+redundant mathematically) preserves the Torch ``getParameters()`` flat-vector
+layout for byte-compatible checkpoint interchange.
+
+TPU-first design notes:
+  * The reference clones the cell per timestep and loops in host Lua with
+    ragged, length-sorted batches (misc/RNNUtils.lua:66-81,128-154).  Here one
+    traced step runs under ``jax.lax.scan``; variable lengths are handled by a
+    per-step ``mask`` on right-aligned tokens.  With zero initial state, a
+    masked dense scan is exactly equivalent to the reference's packed ragged
+    loop: inactive rows simply keep their (zero) state until their first real
+    token, which is precisely what the length-sorted growing-batch loop
+    computes (RNNUtils.lua:84-125).  No gather/scatter, no dynamic shapes —
+    XLA tiles both GEMMs onto the MXU and fuses the gate nonlinearities.
+  * The two GEMMs per step are (N, in)x(in, 4H) and (N, H)x(H, 4H).  For the
+    reference model sizes (N=500, H=512 -> 4H=2048) these are MXU-sized and
+    XLA fuses add+sigmoid/tanh into the matmul epilogue; a handwritten Pallas
+    step (ops/pallas_lstm.py) is used on TPU for the fp32 hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from novel_vqa_tpu.ops.dropout import dropout
+
+LSTMLayerParams = Dict[str, jax.Array]  # {"wx", "bx", "wh", "bh"}
+
+
+def lstm_layer_init(
+    rng: jax.Array,
+    input_size: int,
+    rnn_size: int,
+    scale: float = 0.08,
+    dtype=jnp.float32,
+) -> LSTMLayerParams:
+    """Uniform(-scale, scale) init, matching ``encoder_w_q:uniform(-0.08, 0.08)``
+    (002_train_vqa_arch1/002_train_baseline.lua:178)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    u = lambda k, shape: jax.random.uniform(k, shape, dtype, -scale, scale)
+    return {
+        "wx": u(k1, (input_size, 4 * rnn_size)),
+        "bx": u(k2, (4 * rnn_size,)),
+        "wh": u(k3, (rnn_size, 4 * rnn_size)),
+        "bh": u(k4, (4 * rnn_size,)),
+    }
+
+
+def lstm_step(
+    params: LSTMLayerParams,
+    x: jax.Array,
+    c: jax.Array,
+    h: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """One fused-gate LSTM step. x: (N, in); c, h: (N, H). Returns (c', h')."""
+    rnn_size = c.shape[-1]
+    gates = (
+        jnp.dot(x, params["wx"], preferred_element_type=jnp.float32)
+        + jnp.dot(h, params["wh"], preferred_element_type=jnp.float32)
+        + params["bx"]
+        + params["bh"]
+    )
+    i = jax.nn.sigmoid(gates[..., 0 * rnn_size : 1 * rnn_size])
+    f = jax.nn.sigmoid(gates[..., 1 * rnn_size : 2 * rnn_size])
+    o = jax.nn.sigmoid(gates[..., 2 * rnn_size : 3 * rnn_size])
+    g = jnp.tanh(gates[..., 3 * rnn_size : 4 * rnn_size])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return c_new, h_new
+
+
+def lstm_stack_step(
+    params: Sequence[LSTMLayerParams],
+    x: jax.Array,
+    state: Tuple[jax.Array, jax.Array],  # (c, h) each (L, N, H)
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-layer step. Inter-layer dropout on the input of layers L>1 only,
+    matching misc/LSTM.lua:36-38 / LSTM_encoder.lua:27-29 (no dropout on the
+    first layer's input and none on the recurrent path)."""
+    c, h = state
+    new_c: List[jax.Array] = []
+    new_h: List[jax.Array] = []
+    inp = x
+    for layer_idx, layer in enumerate(params):
+        if layer_idx > 0:
+            if dropout_rate > 0.0 and not deterministic:
+                rng, sub = jax.random.split(rng)
+                inp = dropout(sub, inp, dropout_rate, deterministic=False)
+        c_l, h_l = lstm_step(layer, inp, c[layer_idx], h[layer_idx])
+        new_c.append(c_l)
+        new_h.append(h_l)
+        inp = h_l
+    return jnp.stack(new_c), jnp.stack(new_h)
+
+
+def pack_state(c: jax.Array, h: jax.Array) -> jax.Array:
+    """Pack (L, N, H) c/h into the Torch packed-state vector layout
+    [c1, h1, c2, h2, ...] of width 2*L*H (misc/LSTM.lua:21-23,70: ``nn.Narrow``
+    reads prev_c at offset 2*(L-1)*H and prev_h at 2*(L-1)*H + H, and the
+    output joins (c, h) per layer in order)."""
+    num_layers = c.shape[0]
+    parts = []
+    for layer in range(num_layers):
+        parts.append(c[layer])
+        parts.append(h[layer])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_state(packed: jax.Array, num_layers: int) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of :func:`pack_state`."""
+    rnn_size = packed.shape[-1] // (2 * num_layers)
+    cs, hs = [], []
+    for layer in range(num_layers):
+        off = 2 * layer * rnn_size
+        cs.append(packed[..., off : off + rnn_size])
+        hs.append(packed[..., off + rnn_size : off + 2 * rnn_size])
+    return jnp.stack(cs), jnp.stack(hs)
+
+
+def lstm_encode(
+    params: Sequence[LSTMLayerParams],
+    xs: jax.Array,  # (T, N, in) time-major inputs
+    mask: jax.Array,  # (T, N) 1.0 where the step is active for that row
+    *,
+    init_state: Optional[Tuple[jax.Array, jax.Array]] = None,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    return_sequence: bool = False,
+) -> Any:
+    """Masked dense scan over time.
+
+    ``state = where(mask_t, stack_step(state, x_t), state)`` — rows stay at
+    their previous (initially zero) state on inactive steps, which reproduces
+    the reference's right-aligned ragged batching
+    (misc/RNNUtils.lua:84-125,128-154) without any sorting or dynamic shapes.
+
+    Returns the final (c, h) state, or (final_state, (cs, hs)) per-step states
+    when ``return_sequence``.
+    """
+    num_layers = len(params)
+    seq_len, batch, _ = xs.shape
+    rnn_size = params[0]["wh"].shape[0]
+    if init_state is None:
+        zeros = jnp.zeros((num_layers, batch, rnn_size), xs.dtype)
+        init_state = (zeros, zeros)
+
+    if rng is not None:
+        step_rngs = jax.random.split(rng, seq_len)
+    else:
+        step_rngs = jnp.zeros((seq_len, 2), dtype=jnp.uint32)
+
+    def body(state, inputs):
+        x_t, m_t, rng_t = inputs
+        c, h = state
+        c_new, h_new = lstm_stack_step(
+            params,
+            x_t,
+            state,
+            dropout_rate=dropout_rate,
+            rng=None if rng is None else rng_t,
+            deterministic=deterministic,
+        )
+        m = m_t[None, :, None]
+        c = jnp.where(m > 0, c_new, c)
+        h = jnp.where(m > 0, h_new, h)
+        if return_sequence:
+            return (c, h), (c, h)
+        return (c, h), None
+
+    final_state, seq_states = jax.lax.scan(body, init_state, (xs, mask, step_rngs))
+    if return_sequence:
+        return final_state, seq_states
+    return final_state
