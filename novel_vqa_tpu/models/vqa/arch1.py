@@ -185,3 +185,33 @@ def train_step(
 def eval_step(cfg: Arch1Config, params, tokens, image, labels):
     scores = apply(params, cfg, tokens, image, deterministic=True)
     return cross_entropy(scores, labels), scores
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
+def train_step_indexed(
+    cfg: Arch1Config,
+    tx: optax.GradientTransformation,
+    params,
+    opt_state,
+    data,  # dict of HBM-resident arrays: tokens (N,D), image (M,F), img_pos (N,), answers (N,)
+    qinds,  # (B,) int32 indices sampled on host (tiny transfer)
+    rng,
+):
+    """HBM-resident variant of :func:`train_step`.
+
+    The reference gathers each batch on the host and ships ~8 MB of fc7
+    features to the device every iteration (002_train_baseline.lua:202-218).
+    TPU-native inversion: the whole train split lives in HBM (the largest
+    split is ~1.3 GB of fc7 float32 — small next to 16 GB HBM) and the batch
+    gather happens inside the jitted step, so only the (B,) index vector
+    crosses the host boundary.  This removes the host->HBM bandwidth term
+    from the steady-state step entirely.
+    """
+    tokens = jnp.take(data["tokens"], qinds, axis=0)
+    labels = jnp.take(data["answers"], qinds, axis=0)
+    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
+    image = jnp.take(data["image"], iminds, axis=0)
+    loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, image, labels, rng)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss

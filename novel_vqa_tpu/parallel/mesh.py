@@ -1,0 +1,90 @@
+"""Device mesh + data-parallel train steps.
+
+The reference is strictly single-GPU (``-gpuid``,
+002_train_vqa_arch1/002_train_baseline.lua:57-63; no NCCL/MPI anywhere —
+SURVEY.md section 2.8).  The TPU-native scaling plan is batch data-parallelism
+over a 1-D ``jax.sharding.Mesh`` across the ICI: parameters and optimizer
+state replicated, batches sharded on axis ``"data"``; ``jax.jit`` with these
+shardings makes XLA insert the gradient ``psum`` over ICI automatically.  The
+largest reference model is ~15M params, so DP is the only parallelism the
+workloads need; the mesh abstraction still generalizes to multi-host DCN by
+adding axes (config-only).
+
+Works identically on a real v5e slice and on the virtual
+``--xla_force_host_platform_device_count`` CPU mesh used by the tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} present"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch_arrays(mesh: Mesh, *arrays, axis: str = "data"):
+    """Device-put host arrays with the leading dim sharded over the mesh."""
+    sh = batch_sharded(mesh, axis)
+    return tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+
+
+def make_dp_train_step(
+    cfg,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_fn: Callable,
+    donate: bool = True,
+):
+    """Build a jitted DP train step for any ``loss_fn(params, cfg, *batch, rng)``.
+
+    params/opt_state replicated, batch arrays sharded on the leading axis; the
+    mean-loss gradient all-reduce rides ICI via GSPMD.
+    """
+    repl = replicated(mesh)
+    data = batch_sharded(mesh)
+
+    def step(params, opt_state, rng, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, cfg, *batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl) + (data,) * 3,
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+
+
+def make_dp_eval_step(cfg, mesh: Mesh, eval_fn: Callable):
+    repl = replicated(mesh)
+    data = batch_sharded(mesh)
+
+    def step(params, *batch):
+        return eval_fn(params, cfg, *batch)
+
+    return jax.jit(step, in_shardings=(repl,) + (data,) * 3)

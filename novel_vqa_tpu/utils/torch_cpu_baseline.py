@@ -1,0 +1,142 @@
+"""Torch-CPU reference baseline for the VQA train-step benchmark.
+
+Faithful PyTorch-CPU re-enactment of the reference's arch1 training iteration
+(002_train_vqa_arch1/002_train_baseline.lua:272-335): one-hot question
+encoding times a Linear (the reference materializes the one-hot,
+misc/RNNUtils.lua:42-53), a per-timestep 2-layer LSTM host loop over
+length-sorted ragged batches (growing batch per step, RNNUtils.lua:128-154),
+AxB fusion + classifier, CrossEntropy, full backward, and an rmsprop update —
+all in float32 on CPU, which is what "Torch7 CPU throughput" means in
+BASELINE.md's >=20x target.
+
+Run as a module to print the measured QA-pairs/sec; bench.py uses the cached
+number in bench_baseline.json (re-measure with --refresh).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def measure(batch_size=500, iters=3, vocab=12782, seq=16, warmup=1, seed=0):
+    import torch
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+
+    E, H, layers, nhimage, common, nout = 200, 512, 2, 4096, 1024, 1000
+
+    embedding = torch.nn.Sequential(
+        torch.nn.Linear(vocab, E), torch.nn.Dropout(0.5), torch.nn.Tanh()
+    )
+    lstm_cells = torch.nn.ModuleList()
+    for L in range(layers):
+        in_size = E if L == 0 else H
+        cell = torch.nn.Module()
+        cell.i2h = torch.nn.Linear(in_size, 4 * H)
+        cell.h2h = torch.nn.Linear(H, 4 * H)
+        lstm_cells.append(cell)
+    wq = torch.nn.Linear(2 * H * layers, common)
+    wi = torch.nn.Linear(nhimage, common)
+    classifier = torch.nn.Linear(common, nout)
+    crit = torch.nn.CrossEntropyLoss()
+    params = (
+        list(embedding.parameters())
+        + list(lstm_cells.parameters())
+        + list(wq.parameters())
+        + list(wi.parameters())
+        + list(classifier.parameters())
+    )
+    opt = torch.optim.RMSprop(params, lr=3e-4, alpha=0.99, eps=1e-8)
+    drop = torch.nn.Dropout(0.5)
+
+    rs = np.random.RandomState(seed)
+
+    def lstm_step(cell, x, c, h):
+        gates = cell.i2h(x) + cell.h2h(h)
+        i, f, o, g = gates.chunk(4, dim=1)
+        c_new = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
+        h_new = torch.sigmoid(o) * torch.tanh(c_new)
+        return c_new, h_new
+
+    def one_iter():
+        # batch assembly mirrors dataset:next_batch (:195-222):
+        lengths = np.sort(rs.randint(3, seq + 1, size=batch_size))[::-1].copy()
+        tokens = [rs.randint(0, vocab, size=n) for n in lengths]
+        fv_im = torch.from_numpy(rs.randn(batch_size, nhimage).astype(np.float32))
+        labels = torch.from_numpy(rs.randint(0, nout, size=batch_size))
+
+        # one-hot packing (sort_encoding_onehot_right_align)
+        total = int(lengths.sum())
+        onehot = torch.zeros(total, vocab)
+        flat = np.concatenate(tokens)
+        onehot[torch.arange(total), torch.from_numpy(flat)] = 1.0
+
+        opt.zero_grad()
+        emb = embedding(onehot)  # (total, E) — packed like the reference
+
+        # ragged per-timestep loop: at step t, the n_t longest sequences are
+        # active (right-aligned => batch grows over time)
+        step_sizes = [(lengths >= (lengths[0] - t)).sum() for t in range(lengths[0])]
+        c = [torch.zeros(0, H) for _ in range(layers)]
+        h = [torch.zeros(0, H) for _ in range(layers)]
+        off = 0
+        # packed emb is per-sequence contiguous; rebuild per-step slices
+        per_seq = emb.split([int(n) for n in lengths])
+        step_inputs = []
+        for t, n_t in enumerate(step_sizes):
+            xs = torch.stack(
+                [per_seq[b][t - (lengths[0] - lengths[b])] for b in range(int(n_t))]
+            )
+            step_inputs.append(xs)
+        for t, xs in enumerate(step_inputs):
+            n_t = xs.shape[0]
+            for L in range(layers):
+                if c[L].shape[0] < n_t:
+                    pad = n_t - c[L].shape[0]
+                    c[L] = torch.cat([c[L], torch.zeros(pad, H)])
+                    h[L] = torch.cat([h[L], torch.zeros(pad, H)])
+                inp = xs if L == 0 else drop(h[L - 1])
+                c[L], h[L] = lstm_step(lstm_cells[L], inp, c[L], h[L])
+        tv_q = torch.cat([torch.cat([c[L], h[L]], dim=1) for L in range(layers)], dim=1)
+        fused = torch.tanh(wq(drop(tv_q))) * torch.tanh(wi(drop(fv_im)))
+        scores = classifier(drop(fused))
+        loss = crit(scores, labels)
+        loss.backward()
+        for p in params:
+            if p.grad is not None:
+                p.grad.clamp_(-10, 10)
+        opt.step()
+        return float(loss)
+
+    for _ in range(warmup):
+        one_iter()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_iter()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--batch_size", type=int, default=500)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+    qps = measure(batch_size=args.batch_size, iters=args.iters)
+    result = {
+        "torch_cpu_qa_pairs_per_sec": qps,
+        "batch_size": args.batch_size,
+        "iters": args.iters,
+        "note": "PyTorch-CPU re-enactment of 002_train_baseline.lua iteration",
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)

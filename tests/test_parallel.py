@@ -1,0 +1,90 @@
+"""DP sharding tests on the virtual 8-device CPU mesh, plus the driver
+entry-point contract (__graft_entry__)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from novel_vqa_tpu.models.vqa import arch1
+from novel_vqa_tpu.parallel import (
+    batch_sharded,
+    make_dp_train_step,
+    make_mesh,
+    replicated,
+    shard_batch_arrays,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_dp_train_step_matches_single_device():
+    """The 8-way DP step must produce (numerically) the same update as the
+    single-device step — the psum mean over shards equals the global mean."""
+    cfg = arch1.Arch1Config(
+        vocab_size=40,
+        input_encoding_size=8,
+        rnn_size=16,
+        rnn_layer=2,
+        nhimage=16,
+        common_embedding_size=12,
+        num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    tx = arch1.make_optimizer(learning_rate=1e-3)
+    opt_state = tx.init(params)
+
+    rs = np.random.RandomState(0)
+    N = 16
+    tokens = rs.randint(0, 40, size=(N, 6)).astype(np.int32)
+    image = rs.randn(N, 16).astype(np.float32)
+    labels = rs.randint(1, 6, size=(N,)).astype(np.int32)
+    # deterministic=False uses dropout whose partitioned RNG differs between
+    # layouts, so compare through the deterministic loss path
+    def det_loss(params, cfg, tokens, image, labels, rng):
+        scores = arch1.apply(params, cfg, tokens, image, deterministic=True)
+        from novel_vqa_tpu.ops import cross_entropy
+
+        return cross_entropy(scores, labels)
+
+    # single device
+    import optax
+
+    loss1, grads1 = jax.value_and_grad(det_loss)(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(image), jnp.asarray(labels),
+        jax.random.PRNGKey(1),
+    )
+
+    # 8-way DP
+    mesh = make_mesh(8)
+    step = make_dp_train_step(cfg, tx, mesh, det_loss, donate=False)
+    repl = replicated(mesh)
+    p_r = jax.device_put(params, repl)
+    o_r = jax.device_put(opt_state, repl)
+    t_s, i_s, l_s = shard_batch_arrays(mesh, tokens, image, labels)
+    rng = jax.device_put(jax.random.PRNGKey(1), repl)
+    p2, o2, loss8 = step(p_r, o_r, rng, t_s, i_s, l_s)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+
+    # apply the same grads on one device and compare params
+    upd, _ = tx.update(grads1, tx.init(params), params)
+    p1 = optax.apply_updates(params, upd)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_contract():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128, 1000)
+
+    ge.dryrun_multichip(8)
