@@ -1,0 +1,206 @@
+"""Arch1 VQA trainer CLI.
+
+Port of 002_train_vqa_arch1/002_train_baseline.lua (flags :16-50) and its
+AE-initialized variants 003_train_ae_based*.lua:
+  * ``--init_from`` loads a converted-AE transfer h5 ({lookup^T, encoder,
+    [multimodal]}): embedding weight <- lookup minus its last (START) column
+    with zero bias, encoder <- flat vector (003_train_ae_based.lua:175-188);
+    with a ``multimodal`` entry present and ``--fusion askipb`` the fusion
+    projections are AE-initialized and the final Linear is fresh
+    (003_train_ae_based_wp.lua:151-160);
+  * defaults are the baseline's: bs 500, 2x512 LSTM, rmsprop 3e-4 with
+    per-iteration decay 0.99997592083, grad clamp +-10, 150k iters.
+
+TPU-native execution: the whole split lives in HBM, each iteration ships only
+the sampled index vector, and fwd/bwd/update run as one jitted step
+(models/vqa/arch1.train_step_indexed).
+
+Usage:
+  python -m novel_vqa_tpu.train.train_vqa_arch1 \
+      --input_img_h5 data_img.h5 --input_ques_h5 data_prepro.h5 \
+      --input_json data_prepro.json --checkpoint_path model/
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from novel_vqa_tpu.core.checkpoint import (
+    arch1_to_flat,
+    ae_transfer_from_h5,
+    save_flat_h5,
+    save_npz,
+)
+from novel_vqa_tpu.core.config import parse_config
+from novel_vqa_tpu.core.logging import EMA, MetricsLogger
+from novel_vqa_tpu.data.vqa import VQAData
+from novel_vqa_tpu.models.vqa import arch1
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    input_img_h5: str = "data_img.h5"
+    input_ques_h5: str = "data_prepro.h5"
+    input_json: str = "data_prepro.json"
+    learning_rate: float = 3e-4
+    decay_factor: float = 0.99997592083  # :78
+    batch_size: int = 500
+    max_iters: int = 150000
+    nhimage: int = 4096
+    input_encoding_size: int = 200
+    rnn_size: int = 512
+    rnn_layer: int = 2
+    common_embedding_size: int = 1024
+    num_output: int = 1000
+    img_norm: int = 1
+    save_checkpoint_every: int = 150000
+    checkpoint_path: str = "model/"
+    seed: int = 123
+    init_from: str = ""  # converted-AE transfer h5 (003_train_ae_based.lua)
+    fusion: str = "axb"  # axb | askipb (wp variant)
+    grad_clamp: float = 10.0
+    log_every: int = 100
+
+
+def build_params(opt: TrainConfig, cfg: arch1.Arch1Config):
+    params = arch1.init_params(jax.random.PRNGKey(opt.seed), cfg)
+    if opt.init_from:
+        saved = ae_transfer_from_h5(
+            opt.init_from, cfg.input_encoding_size, cfg.rnn_size, cfg.rnn_layer
+        )
+        lookup = saved["lookup"]  # (vocab+1, E)
+        assert lookup.shape[0] - 1 == cfg.vocab_size, (
+            f"AE vocab {lookup.shape[0] - 1} != question vocab {cfg.vocab_size}"
+        )
+        params["embedding"] = {
+            # drop the last (START) entry, zero bias (003_train_ae_based.lua:177-183)
+            "w": jnp.asarray(lookup[:-1]),
+            "b": jnp.zeros((cfg.input_encoding_size,), jnp.float32),
+        }
+        params["encoder"] = [
+            {k: jnp.asarray(v) for k, v in layer.items()} for layer in saved["encoder"]
+        ]
+        if "multimodal" in saved and opt.fusion == "askipb":
+            # AE multimodal init for the AskipB projections
+            # (003_train_ae_based_wp.lua:151-160); final Linear stays fresh
+            from novel_vqa_tpu.core.checkpoint import _linear_from_flat
+
+            mv = np.asarray(saved["multimodal"], np.float32)
+            wq, bq, off = _linear_from_flat(
+                mv, 0, 2 * cfg.rnn_size * cfg.rnn_layer, cfg.common_embedding_size
+            )
+            wi, bi, off = _linear_from_flat(
+                mv, off, cfg.nhimage, cfg.common_embedding_size
+            )
+            params["fusion"] = {
+                "wq": jnp.asarray(wq),
+                "bq": jnp.asarray(bq),
+                "wi": jnp.asarray(wi),
+                "bi": jnp.asarray(bi),
+            }
+    return params
+
+
+def main(argv=None):
+    opt = parse_config(TrainConfig, argv, description=__doc__)
+    os.makedirs(os.path.join(opt.checkpoint_path, "save"), exist_ok=True)
+
+    data = VQAData(
+        opt.input_ques_h5,
+        opt.input_img_h5,
+        opt.input_json,
+        img_norm=bool(opt.img_norm),
+        seed=opt.seed,
+    )
+    cfg = arch1.Arch1Config(
+        vocab_size=data.vocab_size,
+        input_encoding_size=opt.input_encoding_size,
+        rnn_size=opt.rnn_size,
+        rnn_layer=opt.rnn_layer,
+        nhimage=opt.nhimage,
+        common_embedding_size=opt.common_embedding_size,
+        num_output=opt.num_output,
+        fusion=opt.fusion,
+    )
+    params = build_params(opt, cfg)
+    tx = arch1.make_optimizer(
+        learning_rate=opt.learning_rate,
+        decay_factor=opt.decay_factor,
+        grad_clamp=opt.grad_clamp,
+    )
+    opt_state = tx.init(params)
+
+    # ship the whole train split to HBM once
+    dev_data = {
+        "tokens": jnp.asarray(data.d["question_train"]),
+        "image": jnp.asarray(data.d["fv_im_train"]),
+        "img_pos": jnp.asarray(data.d["img_pos_train"].astype(np.int32)),
+        "answers": jnp.asarray(data.d["answers_train"].astype(np.int32)),
+    }
+
+    logger = MetricsLogger(os.path.join(opt.checkpoint_path, "save"))
+    ema = EMA(0.95)
+    ema_val = EMA(0.95)
+    n_train = data.num_examples("train")
+    rng_pool = jax.random.PRNGKey(opt.seed)
+    pending_losses: list = []
+
+    def validate():
+        total, n_batches = 0.0, 0
+        for batch in data.iter_split("val", opt.batch_size):
+            loss, _ = arch1.eval_step(
+                cfg,
+                params,
+                jnp.asarray(batch.tokens),
+                jnp.asarray(batch.image),
+                jnp.asarray(batch.labels),
+            )
+            f = float(loss)
+            ema_val.update(f)
+            total += f
+            n_batches += 1
+        return total / max(1, n_batches)
+
+    def save_ckpt(tag: str):
+        host_params = jax.device_get(params)
+        save_flat_h5(
+            os.path.join(opt.checkpoint_path, tag + ".h5"), arch1_to_flat(host_params)
+        )
+        save_npz(
+            os.path.join(opt.checkpoint_path, tag + ".npz"),
+            host_params,
+            meta={"cfg": cfg._asdict(), "opt": dataclasses.asdict(opt)},
+        )
+
+    for it in range(1, opt.max_iters + 1):
+        if it % opt.save_checkpoint_every == 0 or it == 1:
+            loss_val = validate()
+            logger.log_val(it, opt.max_iters, loss_val, ema_val.value)
+            save_ckpt(os.path.join("save", f"lstm_save_iter{it}"))
+        qinds = jnp.asarray(data.rng.integers(0, n_train, opt.batch_size), jnp.int32)
+        rng_pool, step_rng = jax.random.split(rng_pool)
+        params, opt_state, loss = arch1.train_step_indexed(
+            cfg, tx, params, opt_state, dev_data, qinds, step_rng
+        )
+        # defer the device sync: collect loss handles and fold them into the
+        # EMA only at log time (exact running_avg semantics,
+        # 002_train_baseline.lua:330-334, without a per-step host roundtrip)
+        pending_losses.append(loss)
+        if it % opt.log_every == 0:
+            for f in jax.device_get(pending_losses):
+                ema.update(float(f))
+            pending_losses.clear()
+            logger.log_train(it, opt.max_iters, ema.value)
+
+    save_ckpt("lstm")
+    logger.close()
+    print("done; final checkpoint at", os.path.join(opt.checkpoint_path, "lstm.h5"))
+
+
+if __name__ == "__main__":
+    main()
