@@ -1,0 +1,253 @@
+"""Text-autoencoder trainer CLI.
+
+Port of the stage-001 AE trainers:
+  * ``--variant text_nostart`` = 001_train_arch1_text_autoencoder.lua
+    (defaults: adam lr 1e-5 alpha 0.8 beta 0.999, bs 1000, grad clip 0.1,
+    weight decay 1e-6, 75001 iters, flags :22-59);
+  * ``--variant arch2`` = 001_train_arch2_text_autoencoder.lua (image slot at
+    t=1 fed zeros by the loader, misc/DataLoader.lua:84; 40001 iters, lr 5e-5);
+  * the same harness also fine-tunes on weak-paired text
+    (003_train_arch1_weakpaired_autoencoder_text.lua: 15001 iters, lr 5e-5).
+
+Reproduced loop semantics (001_train_arch1_text_autoencoder.lua):
+  * lossFun fwd/bwd -> grad clamp(+-grad_clip) -> ``+ weight_decay * w``
+    (:237-243) -> optimizer dispatch (:349-364);
+  * continuous LR half-life decay (:341-346);
+  * ``eval_split`` on val every save_checkpoint_every iters with greedy
+    samples decoded for inspection (:148-202);
+  * best-checkpoint gating on -val_loss (:296-318) and periodic full save;
+  * loss-explosion watchdog: abort when loss > 20 * loss0 (:369-373).
+
+The whole fwd/bwd/clip/decay/update runs as one jitted step; batches come
+from the sequential-with-wrap corpus loader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from novel_vqa_tpu.core.checkpoint import ae_transfer_to_h5, save_npz
+from novel_vqa_tpu.core.config import parse_config
+from novel_vqa_tpu.data.corpus import CorpusLoader
+from novel_vqa_tpu.models.seq import autoencoder as ae
+from novel_vqa_tpu.ops import optim as ref_optim
+
+
+@dataclasses.dataclass
+class AETrainConfig:
+    input_h5: str = "data/data.h5"
+    input_json: str = "data/data.json"
+    start_from: str = ""
+    variant: str = "text_nostart"  # text_nostart | arch2
+    rnn_size: int = 512
+    input_encoding_size: int = 512
+    num_layers: int = 1
+    max_iters: int = 75001
+    batch_size: int = 1000
+    grad_clip: float = 0.1
+    drop_prob_ae: float = 0.5
+    optim: str = "adam"  # rmsprop|sgd|sgdmom|adagrad|adam
+    learning_rate: float = 1e-5
+    learning_rate_decay_start: int = -1
+    learning_rate_decay_every: int = 50000
+    optim_alpha: float = 0.8
+    optim_beta: float = 0.999
+    optim_epsilon: float = 1e-8
+    weight_decay: float = 1e-6
+    val_sentences_use: int = 30000
+    save_checkpoint_every: int = 2500
+    checkpoint_path: str = ""
+    losses_log_every: int = 25
+    id: str = ""
+    seed: int = 123
+    sample_print: int = 0  # print N greedy samples per eval (reference prints all)
+
+
+def make_tx(opt: AETrainConfig) -> optax.GradientTransformation:
+    sched = ref_optim.half_life_schedule(
+        opt.learning_rate, opt.learning_rate_decay_start, opt.learning_rate_decay_every
+    )
+    if opt.optim == "adam":
+        inner = ref_optim.adam(sched, opt.optim_alpha, opt.optim_beta, opt.optim_epsilon)
+    elif opt.optim == "rmsprop":
+        inner = ref_optim.rmsprop(sched, opt.optim_alpha, opt.optim_epsilon)
+    elif opt.optim == "adagrad":
+        inner = ref_optim.adagrad(sched, opt.optim_epsilon)
+    elif opt.optim == "sgd":
+        inner = ref_optim.sgd(sched)
+    elif opt.optim == "sgdm":
+        inner = ref_optim.sgdm(sched, opt.optim_alpha)
+    elif opt.optim == "sgdmom":
+        inner = ref_optim.sgdmom(sched, opt.optim_alpha)
+    else:
+        raise ValueError(f"bad option --optim {opt.optim}")
+    return optax.chain(
+        ref_optim.clamp(opt.grad_clip),
+        ref_optim.add_decayed_weights(opt.weight_decay),
+        inner,
+    )
+
+
+def decode_sequence(ix_to_word, seq: np.ndarray):
+    """ix -> words (net_utils.decode_sequence, misc/net_utils.lua:298-313):
+    stop a row at its first out-of-vocab (END) or null token."""
+    L, N = seq.shape
+    out = []
+    for b in range(N):
+        words = []
+        for t in range(L):
+            ix = int(seq[t, b])
+            word = ix_to_word.get(str(ix))
+            if word is None:
+                break
+            words.append(word)
+        out.append(" ".join(words))
+    return out
+
+
+def main(argv=None):
+    opt = parse_config(AETrainConfig, argv, description=__doc__)
+    ckpt_dir = opt.checkpoint_path or "."
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    loader = CorpusLoader(opt.input_h5, opt.input_json)
+    cfg = ae.AEConfig(
+        vocab_size=loader.vocab_size,
+        input_encoding_size=opt.input_encoding_size,
+        rnn_size=opt.rnn_size,
+        num_layers=opt.num_layers,
+        seq_length=loader.seq_length,
+        dropout=opt.drop_prob_ae,
+        variant=opt.variant,
+    )
+    if opt.start_from:
+        from novel_vqa_tpu.core.checkpoint import load_npz, unflatten_like
+
+        template = jax.device_get(ae.init_params(jax.random.PRNGKey(opt.seed), cfg))
+        flat, _ = load_npz(opt.start_from)
+        params = jax.device_put(unflatten_like(template, flat))
+    else:
+        params = ae.init_params(jax.random.PRNGKey(opt.seed), cfg)
+    tx = make_tx(opt)
+    opt_state = tx.init(params)
+
+    needs_imgs = opt.variant == "arch2"
+
+    @jax.jit
+    def train_step(params, opt_state, seq, imgs, rng):
+        kwargs = {"imgs": imgs} if needs_imgs else {}
+        loss, grads = jax.value_and_grad(ae.loss_fn)(params, cfg, seq, rng, **kwargs)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def val_step(params, seq, imgs):
+        kwargs = {"imgs": imgs} if needs_imgs else {}
+        logprobs = ae.apply(params, cfg, seq, deterministic=True, **kwargs)
+        from novel_vqa_tpu.ops import sequence_nll
+
+        return sequence_nll(logprobs, seq)[0]
+
+    @jax.jit
+    def sample_step(params, seq, imgs):
+        kwargs = {"imgs": imgs} if needs_imgs else {}
+        if needs_imgs:
+            state = ae.encode(params, cfg, seq, imgs)
+        else:
+            state = ae.encode(params, cfg, seq)
+        return ae.sample(params, cfg, state)[0]
+
+    zero_imgs = jnp.zeros((opt.batch_size, cfg.input_encoding_size), jnp.float32)
+
+    def eval_split(split: str):
+        loader.reset_iterator(split)
+        loss_sum, loss_evals, n = 0.0, 0, 0
+        printed = 0
+        while True:
+            labels, bounds = loader.get_batch(split, opt.batch_size)
+            seq = jnp.asarray(labels)
+            loss = float(val_step(params, seq, zero_imgs))
+            loss_sum += loss
+            loss_evals += 1
+            n += labels.shape[1]
+            if printed < opt.sample_print:
+                toks = np.asarray(sample_step(params, seq, zero_imgs))
+                preds = decode_sequence(loader.ix_to_word, toks)
+                actuals = decode_sequence(loader.ix_to_word, labels)
+                for p, a in list(zip(preds, actuals))[: opt.sample_print - printed]:
+                    print(f"Prediction: {p} ||| Actual: {a}")
+                    printed += 1
+            if bounds["wrapped"]:
+                break
+            if 0 <= opt.val_sentences_use <= n:
+                break
+        return loss_sum / max(1, loss_evals)
+
+    rng = jax.random.PRNGKey(opt.seed)
+    loss0 = None
+    best_score = None
+    loss_history = {}
+    val_loss_history = {}
+    it = 0
+    while True:
+        labels, _ = loader.get_batch("train", opt.batch_size)
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(labels), zero_imgs, sub
+        )
+
+        if opt.losses_log_every > 0 and it % opt.losses_log_every == 0:
+            f = float(loss)
+            loss_history[it] = f
+            print(f"iter {it}: {f:.6f}")
+            # loss-explosion watchdog (:369-373), checked at log cadence to
+            # avoid a per-step device sync
+            if loss0 is None:
+                loss0 = f
+            if f > loss0 * 20:
+                print("loss seems to be exploding, quitting.")
+                break
+
+        if it % opt.save_checkpoint_every == 0 or it == opt.max_iters - 1:
+            val_loss = eval_split("val")
+            val_loss_history[it] = val_loss
+            print(f"validation loss: {val_loss}")
+
+            ckpt_base = os.path.join(ckpt_dir, "model_id" + opt.id)
+            with open(ckpt_base + ".json", "w") as f:
+                json.dump(
+                    {
+                        "opt": dataclasses.asdict(opt),
+                        "iter": it,
+                        "loss_history": loss_history,
+                        "val_loss_history": val_loss_history,
+                    },
+                    f,
+                )
+            current_score = -val_loss
+            if best_score is None or current_score > best_score:
+                best_score = current_score
+                save_npz(
+                    ckpt_base + ".npz",
+                    jax.device_get(params),
+                    meta={"cfg": cfg._asdict(), "iter": it, "val_loss": val_loss},
+                )
+                print("wrote best checkpoint to " + ckpt_base + ".npz")
+
+        it += 1
+        if 0 < opt.max_iters <= it:
+            break
+
+    loader.close()
+
+
+if __name__ == "__main__":
+    main()
