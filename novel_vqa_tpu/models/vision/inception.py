@@ -1,0 +1,222 @@
+"""Inception-v3 with the 2048-d global-pool feature tap.
+
+Replaces the reference's torch.load'ed Inception-v3 t7 graph
+(002_train_vqa_arch1/001_prepro_img_inc.lua:34) whose features are the
+pre-logits global average pool (2048-d, ``nhimage 2048`` in the -inc trainers).
+Standard v3 topology (BN-conv stem, 3xInceptionA, InceptionB, 4xInceptionC,
+InceptionD, 2xInceptionE); batch-norm runs in inference mode with folded
+running stats, matching the always-``evaluate()`` reference extractor.
+
+Input: NHWC float32, 299x299, normalized (x*255 - 128) * 0.0078125 in RGB
+order (001_prepro_img_inc.lua:40-57) — see ``data/images.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from novel_vqa_tpu.models.vision.layers import (
+    avg_pool,
+    bn_init,
+    batch_norm,
+    conv2d,
+    conv_init,
+    linear,
+    linear_init,
+    max_pool,
+)
+
+
+class InceptionConfig(NamedTuple):
+    num_classes: int = 1000
+    image_size: int = 299
+
+
+def _cbr_init(rng, kh, kw, c_in, c_out):
+    k1, k2 = jax.random.split(rng)
+    conv = conv_init(k1, kh, kw, c_in, c_out)
+    del conv["b"]  # BN provides the shift
+    return {"conv": conv, "bn": bn_init(k2, c_out)}
+
+
+def _cbr(p, x, stride=(1, 1), padding="SAME"):
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["conv"]["w"],
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(batch_norm(p["bn"], y), 0.0)
+
+
+class _KeyGen:
+    def __init__(self, rng):
+        self.rng = rng
+
+    def __call__(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+
+def _inception_a_init(kg, c_in, pool_features):
+    return {
+        "b1x1": _cbr_init(kg(), 1, 1, c_in, 64),
+        "b5x5_1": _cbr_init(kg(), 1, 1, c_in, 48),
+        "b5x5_2": _cbr_init(kg(), 5, 5, 48, 64),
+        "b3x3dbl_1": _cbr_init(kg(), 1, 1, c_in, 64),
+        "b3x3dbl_2": _cbr_init(kg(), 3, 3, 64, 96),
+        "b3x3dbl_3": _cbr_init(kg(), 3, 3, 96, 96),
+        "bpool": _cbr_init(kg(), 1, 1, c_in, pool_features),
+    }
+
+
+def _inception_a(p, x):
+    b1 = _cbr(p["b1x1"], x)
+    b5 = _cbr(p["b5x5_2"], _cbr(p["b5x5_1"], x))
+    b3 = _cbr(p["b3x3dbl_3"], _cbr(p["b3x3dbl_2"], _cbr(p["b3x3dbl_1"], x)))
+    bp = _cbr(p["bpool"], avg_pool(x, 3))
+    return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+def _inception_b_init(kg, c_in):
+    return {
+        "b3x3": _cbr_init(kg(), 3, 3, c_in, 384),
+        "b3x3dbl_1": _cbr_init(kg(), 1, 1, c_in, 64),
+        "b3x3dbl_2": _cbr_init(kg(), 3, 3, 64, 96),
+        "b3x3dbl_3": _cbr_init(kg(), 3, 3, 96, 96),
+    }
+
+
+def _inception_b(p, x):
+    b3 = _cbr(p["b3x3"], x, stride=(2, 2), padding="VALID")
+    bd = _cbr(p["b3x3dbl_2"], _cbr(p["b3x3dbl_1"], x))
+    bd = _cbr(p["b3x3dbl_3"], bd, stride=(2, 2), padding="VALID")
+    bp = max_pool(x, 3, 2, "VALID")
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+def _inception_c_init(kg, c_in, c7):
+    return {
+        "b1x1": _cbr_init(kg(), 1, 1, c_in, 192),
+        "b7x7_1": _cbr_init(kg(), 1, 1, c_in, c7),
+        "b7x7_2": _cbr_init(kg(), 1, 7, c7, c7),
+        "b7x7_3": _cbr_init(kg(), 7, 1, c7, 192),
+        "b7x7dbl_1": _cbr_init(kg(), 1, 1, c_in, c7),
+        "b7x7dbl_2": _cbr_init(kg(), 7, 1, c7, c7),
+        "b7x7dbl_3": _cbr_init(kg(), 1, 7, c7, c7),
+        "b7x7dbl_4": _cbr_init(kg(), 7, 1, c7, c7),
+        "b7x7dbl_5": _cbr_init(kg(), 1, 7, c7, 192),
+        "bpool": _cbr_init(kg(), 1, 1, c_in, 192),
+    }
+
+
+def _inception_c(p, x):
+    b1 = _cbr(p["b1x1"], x)
+    b7 = _cbr(p["b7x7_3"], _cbr(p["b7x7_2"], _cbr(p["b7x7_1"], x)))
+    bd = _cbr(p["b7x7dbl_1"], x)
+    for name in ("b7x7dbl_2", "b7x7dbl_3", "b7x7dbl_4", "b7x7dbl_5"):
+        bd = _cbr(p[name], bd)
+    bp = _cbr(p["bpool"], avg_pool(x, 3))
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _inception_d_init(kg, c_in):
+    return {
+        "b3x3_1": _cbr_init(kg(), 1, 1, c_in, 192),
+        "b3x3_2": _cbr_init(kg(), 3, 3, 192, 320),
+        "b7x7x3_1": _cbr_init(kg(), 1, 1, c_in, 192),
+        "b7x7x3_2": _cbr_init(kg(), 1, 7, 192, 192),
+        "b7x7x3_3": _cbr_init(kg(), 7, 1, 192, 192),
+        "b7x7x3_4": _cbr_init(kg(), 3, 3, 192, 192),
+    }
+
+
+def _inception_d(p, x):
+    b3 = _cbr(p["b3x3_2"], _cbr(p["b3x3_1"], x), stride=(2, 2), padding="VALID")
+    b7 = _cbr(p["b7x7x3_3"], _cbr(p["b7x7x3_2"], _cbr(p["b7x7x3_1"], x)))
+    b7 = _cbr(p["b7x7x3_4"], b7, stride=(2, 2), padding="VALID")
+    bp = max_pool(x, 3, 2, "VALID")
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+def _inception_e_init(kg, c_in):
+    return {
+        "b1x1": _cbr_init(kg(), 1, 1, c_in, 320),
+        "b3x3_1": _cbr_init(kg(), 1, 1, c_in, 384),
+        "b3x3_2a": _cbr_init(kg(), 1, 3, 384, 384),
+        "b3x3_2b": _cbr_init(kg(), 3, 1, 384, 384),
+        "b3x3dbl_1": _cbr_init(kg(), 1, 1, c_in, 448),
+        "b3x3dbl_2": _cbr_init(kg(), 3, 3, 448, 384),
+        "b3x3dbl_3a": _cbr_init(kg(), 1, 3, 384, 384),
+        "b3x3dbl_3b": _cbr_init(kg(), 3, 1, 384, 384),
+        "bpool": _cbr_init(kg(), 1, 1, c_in, 192),
+    }
+
+
+def _inception_e(p, x):
+    b1 = _cbr(p["b1x1"], x)
+    b3 = _cbr(p["b3x3_1"], x)
+    b3 = jnp.concatenate([_cbr(p["b3x3_2a"], b3), _cbr(p["b3x3_2b"], b3)], axis=-1)
+    bd = _cbr(p["b3x3dbl_2"], _cbr(p["b3x3dbl_1"], x))
+    bd = jnp.concatenate([_cbr(p["b3x3dbl_3a"], bd), _cbr(p["b3x3dbl_3b"], bd)], axis=-1)
+    bp = _cbr(p["bpool"], avg_pool(x, 3))
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+def init_params(rng: jax.Array, cfg: InceptionConfig) -> Dict[str, Any]:
+    kg = _KeyGen(rng)
+    p: Dict[str, Any] = {
+        "stem": {
+            "c1": _cbr_init(kg(), 3, 3, 3, 32),
+            "c2": _cbr_init(kg(), 3, 3, 32, 32),
+            "c3": _cbr_init(kg(), 3, 3, 32, 64),
+            "c4": _cbr_init(kg(), 1, 1, 64, 80),
+            "c5": _cbr_init(kg(), 3, 3, 80, 192),
+        },
+        "mixed5b": _inception_a_init(kg, 192, 32),
+        "mixed5c": _inception_a_init(kg, 256, 64),
+        "mixed5d": _inception_a_init(kg, 288, 64),
+        "mixed6a": _inception_b_init(kg, 288),
+        "mixed6b": _inception_c_init(kg, 768, 128),
+        "mixed6c": _inception_c_init(kg, 768, 160),
+        "mixed6d": _inception_c_init(kg, 768, 160),
+        "mixed6e": _inception_c_init(kg, 768, 192),
+        "mixed7a": _inception_d_init(kg, 768),
+        "mixed7b": _inception_e_init(kg, 1280),
+        "mixed7c": _inception_e_init(kg, 2048),
+        "fc": linear_init(kg(), 2048, cfg.num_classes),
+    }
+    return p
+
+
+def apply(
+    params: Dict[str, Any],
+    cfg: InceptionConfig,
+    images: jax.Array,  # (N, 299, 299, 3) normalized RGB
+    tap: str = "pool",  # "pool" (2048-d features) | "logits"
+) -> jax.Array:
+    s = params["stem"]
+    x = _cbr(s["c1"], images, stride=(2, 2), padding="VALID")
+    x = _cbr(s["c2"], x, padding="VALID")
+    x = _cbr(s["c3"], x)
+    x = max_pool(x, 3, 2, "VALID")
+    x = _cbr(s["c4"], x, padding="VALID")
+    x = _cbr(s["c5"], x, padding="VALID")
+    x = max_pool(x, 3, 2, "VALID")
+    for name in ("mixed5b", "mixed5c", "mixed5d"):
+        x = _inception_a(params[name], x)
+    x = _inception_b(params["mixed6a"], x)
+    for name in ("mixed6b", "mixed6c", "mixed6d", "mixed6e"):
+        x = _inception_c(params[name], x)
+    x = _inception_d(params["mixed7a"], x)
+    for name in ("mixed7b", "mixed7c"):
+        x = _inception_e(params[name], x)
+    x = jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)
+    if tap == "pool":
+        return x
+    return linear(params["fc"], x)

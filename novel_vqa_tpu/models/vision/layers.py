@@ -1,0 +1,111 @@
+"""Vision building blocks: conv / maxpool / avgpool / batchnorm, NHWC layout.
+
+NHWC + HWIO is the TPU-native layout (XLA tiles the channel dim onto the MXU
+lanes).  The reference's native surface here is cuDNN via loadcaffe / Torch7
+graphs (SURVEY.md section 2.7); XLA's conv emitter plays that role, fusing
+bias + ReLU into the conv epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def conv_init(rng, kh, kw, c_in, c_out, dtype=jnp.float32):
+    """He-style init for random benchmarks; real weights come from converted
+    caffemodel/t7 dumps (core/vision_weights.py)."""
+    kw_, kb_ = jax.random.split(rng)
+    fan_in = kh * kw * c_in
+    std = (2.0 / fan_in) ** 0.5
+    return {
+        "w": std * jax.random.normal(kw_, (kh, kw, c_in, c_out), dtype),
+        "b": jnp.zeros((c_out,), dtype),
+    }
+
+
+def conv2d(
+    params: Dict[str, jax.Array],
+    x: jax.Array,  # (N, H, W, C)
+    stride: Tuple[int, int] = (1, 1),
+    padding="SAME",
+    relu: bool = True,
+) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x,
+        params["w"],
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + params["b"]
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def max_pool(x, window=2, stride=2, padding="VALID"):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        padding,
+    )
+
+
+def avg_pool(x, window, stride=1, padding="SAME"):
+    summed = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        padding,
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(x),
+        0.0,
+        jax.lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        padding,
+    )
+    return summed / counts
+
+
+def bn_init(rng, c, dtype=jnp.float32):
+    return {
+        "scale": jnp.ones((c,), dtype),
+        "offset": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+    }
+
+
+def batch_norm(params, x, eps: float = 1e-3):
+    """Inference-mode BN with folded running stats (the reference Inception t7
+    is always run in evaluate mode for feature extraction)."""
+    inv = jax.lax.rsqrt(params["var"] + eps)
+    return (x - params["mean"]) * inv * params["scale"] + params["offset"]
+
+
+def conv_bn(conv_p, bn_p, x, stride=(1, 1), padding="SAME"):
+    y = conv2d(conv_p, x, stride=stride, padding=padding, relu=False)
+    return jnp.maximum(batch_norm(bn_p, y), 0.0)
+
+
+def linear_init(rng, n_in, n_out, dtype=jnp.float32):
+    kw_, kb_ = jax.random.split(rng)
+    std = (2.0 / n_in) ** 0.5
+    return {
+        "w": std * jax.random.normal(kw_, (n_in, n_out), dtype),
+        "b": jnp.zeros((n_out,), dtype),
+    }
+
+
+def linear(params, x, relu=False):
+    y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+    return jnp.maximum(y, 0.0) if relu else y

@@ -1,0 +1,140 @@
+"""Image-feature extraction CLI — the fc7 north-star workload.
+
+Port of 002_train_vqa_arch1/001_prepro_img_{vgg,inc,ef}.lua: read the
+``unique_img_{train,val,test}`` lists from data_prepro.json, decode + resize
+each image, run the CNN, tap the feature layer, and write
+``/images_{train,test,val}`` float32 h5 stores in list order (byte-identical
+layout to 001_prepro_img_vgg.lua:156-160 given identical features).
+
+TPU-native pipeline: threaded host decode with double-buffered prefetch
+(data/images.py) ships uint8; normalization + CNN forward + feature tap run
+as one jitted program per batch.  ``--model2`` concatenates a second net's
+features for the early-fusion store (001_prepro_img_ef.lua).
+
+Weights load from a converted .npz (``--weights``); without one the net is
+randomly initialized (throughput benchmarking / smoke tests only — a loud
+warning is printed since features would be meaningless for accuracy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import sys
+import time
+
+import h5py
+import numpy as np
+
+from novel_vqa_tpu.core.config import parse_config
+
+
+@dataclasses.dataclass
+class ExtractConfig:
+    input_json: str = "data_prepro.json"
+    image_root: str = ""
+    model: str = "vgg16"  # vgg16 | vgg19 | inception
+    weights: str = ""  # converted .npz weight dump ('' = random init)
+    model2: str = ""  # optional second net for early fusion
+    weights2: str = ""
+    batch_size: int = 32
+    out_name: str = "data_img.h5"
+    tap: str = "fc7"
+    decode_workers: int = 8
+    seed: int = 123
+    limit: int = -1  # cap images per split (for smoke tests)
+
+
+def build_model(name: str, weights: str, tap: str, seed: int):
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.data import images as I
+
+    if name in ("vgg16", "vgg19"):
+        from novel_vqa_tpu.models.vision import vgg as net
+
+        cfg = net.VGGConfig(arch=name)
+        size, crop, prepro = 224, False, I.vgg_device_prepro
+        ndims = {"fc7": 4096, "fc6": 4096, "fc8": cfg.num_classes}[tap]
+        apply_fn = functools.partial(net.apply, cfg=cfg, tap=tap)
+    elif name == "inception":
+        from novel_vqa_tpu.models.vision import inception as net
+
+        cfg = net.InceptionConfig()
+        size, crop, prepro = 299, True, I.inception_device_prepro
+        ndims = 2048
+        apply_fn = functools.partial(net.apply, cfg=cfg, tap="pool")
+    else:
+        raise ValueError(name)
+
+    if weights:
+        from novel_vqa_tpu.core.checkpoint import load_npz, unflatten_like
+
+        template = jax.device_get(net.init_params(jax.random.PRNGKey(seed), cfg))
+        flat, _ = load_npz(weights)
+        params = jax.device_put(unflatten_like(template, flat))
+    else:
+        print(
+            f"WARNING: no --weights for {name}; using RANDOM weights "
+            "(features are meaningless for accuracy)",
+            file=sys.stderr,
+        )
+        params = net.init_params(jax.random.PRNGKey(seed), cfg)
+
+    @jax.jit
+    def forward(u8, missing):
+        return apply_fn(params=params, images=prepro(u8, missing))
+
+    return forward, size, crop, ndims
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.data.images import DecodePool
+
+    opt = parse_config(ExtractConfig, argv, description=__doc__)
+    with open(opt.input_json) as f:
+        meta = json.load(f)
+
+    models = [build_model(opt.model, opt.weights, opt.tap, opt.seed)]
+    if opt.model2:
+        models.append(build_model(opt.model2, opt.weights2, opt.tap, opt.seed))
+
+    with h5py.File(opt.out_name, "w") as out:
+        for split in ("train", "test", "val"):
+            paths = [
+                os.path.join(opt.image_root, p)
+                for p in meta.get(f"unique_img_{split}", [])
+            ]
+            if opt.limit >= 0:
+                paths = paths[: opt.limit]
+            if not paths:
+                continue
+            total_dims = sum(m[3] for m in models)
+            feats = np.empty((len(paths), total_dims), np.float32)
+            t0 = time.perf_counter()
+            col = 0
+            for forward, size, crop, ndims in models:
+                pool = DecodePool(size, crop, workers=opt.decode_workers)
+                row = 0
+                for u8, missing, real in pool.iter_batches(paths, opt.batch_size):
+                    f = np.asarray(forward(jnp.asarray(u8), jnp.asarray(missing)))
+                    feats[row : row + real, col : col + ndims] = f[:real]
+                    row += real
+                pool.close()
+                col += ndims
+            dt = time.perf_counter() - t0
+            print(
+                f"processed {len(paths)} {split} images in {dt:.1f}s "
+                f"({len(paths)/dt:.1f} images/sec)"
+            )
+            out.create_dataset(f"images_{split}", dtype="float32", data=feats)
+    print("wrote", opt.out_name)
+
+
+if __name__ == "__main__":
+    main()

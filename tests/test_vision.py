@@ -1,0 +1,144 @@
+"""Vision stack tests: VGG/Inception shapes, prepro pixel math (incl. the
+missing-file quirk), and the extraction CLI end-to-end on synthetic JPEGs."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from novel_vqa_tpu.data import images as I
+from novel_vqa_tpu.models.vision import vgg, inception
+
+
+def test_vgg16_shapes_small():
+    cfg = vgg.VGGConfig(arch="vgg16", image_size=32)
+    params = vgg.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    feat = vgg.apply(params, cfg, x, tap="fc7")
+    assert feat.shape == (2, 4096)
+    assert float(jnp.min(feat)) >= 0.0  # post-ReLU tap
+    logits = vgg.apply(params, cfg, x, tap="fc8")
+    assert logits.shape == (2, 1000)
+
+
+def test_vgg19_has_16_convs():
+    cfg = vgg.VGGConfig(arch="vgg19", image_size=32)
+    params = vgg.init_params(jax.random.PRNGKey(0), cfg)
+    assert len(params["conv"]) == 16
+
+
+def test_inception_shapes():
+    cfg = inception.InceptionConfig()
+    params = inception.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 299, 299, 3))
+    feat = inception.apply(params, cfg, x, tap="pool")
+    assert feat.shape == (1, 2048)
+
+
+def test_vgg_device_prepro_math():
+    u8 = np.zeros((1, 2, 2, 3), np.uint8)
+    u8[..., 0] = 200  # R
+    u8[..., 1] = 150  # G
+    u8[..., 2] = 100  # B
+    out = np.asarray(I.vgg_device_prepro(jnp.asarray(u8), jnp.zeros((1,), bool)))
+    # output channel order BGR with BGR means (loadim :66-69)
+    np.testing.assert_allclose(out[0, 0, 0, 0], 100 - 103.939, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 0, 1], 150 - 116.779, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 0, 0, 2], 200 - 123.68, rtol=1e-5)
+
+
+def test_vgg_missing_quirk():
+    u8 = np.zeros((2, 2, 2, 3), np.uint8)
+    missing = np.asarray([True, False])
+    out = np.asarray(I.vgg_device_prepro(jnp.asarray(u8), jnp.asarray(missing)))
+    np.testing.assert_allclose(out[0, 0, 0], I.VGG_MISSING_BGR, rtol=1e-5)
+    np.testing.assert_allclose(out[1, 0, 0, 0], -103.939, rtol=1e-5)
+
+
+def test_inception_prepro_math():
+    u8 = np.full((1, 2, 2, 3), 128, np.uint8)
+    out = np.asarray(
+        I.inception_device_prepro(jnp.asarray(u8), jnp.zeros((1,), bool))
+    )
+    np.testing.assert_allclose(out, 0.0, atol=1e-6)
+    u8[:] = 255
+    out = np.asarray(
+        I.inception_device_prepro(jnp.asarray(u8), jnp.zeros((1,), bool))
+    )
+    np.testing.assert_allclose(out, 127 * 0.0078125, rtol=1e-5)
+
+
+def test_decode_resize_and_pool(tmp_path):
+    from PIL import Image
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"im{i}.jpg")
+        arr = np.full((50, 70, 3), 40 * (i + 1), np.uint8)
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.jpg"))
+
+    img, miss = I.decode_resize(paths[0], 224)
+    assert img.shape == (224, 224, 3) and not miss
+    _, miss = I.decode_resize(paths[-1], 224)
+    assert miss
+
+    pool = I.DecodePool(64)
+    batches = list(pool.iter_batches(paths, 3))
+    pool.close()
+    assert len(batches) == 2
+    assert batches[0][2] == 3 and batches[1][2] == 1
+    assert batches[1][0].shape == (3, 64, 64, 3)  # padded to batch
+    assert batches[1][1][0]  # the missing file
+
+
+def test_extract_cli_end_to_end(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    names = []
+    rs = np.random.RandomState(0)
+    for i in range(3):
+        name = f"im{i}.jpg"
+        Image.fromarray(rs.randint(0, 255, (60, 60, 3), dtype=np.uint8)).save(
+            str(img_dir / name)
+        )
+        names.append(name)
+
+    meta = {
+        "unique_img_train": names,
+        "unique_img_val": names[:2],
+        "unique_img_test": names[:1],
+    }
+    meta_path = str(tmp_path / "data_prepro.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    out_h5 = str(tmp_path / "data_img.h5")
+    from novel_vqa_tpu.train import extract_features
+
+    extract_features.main(
+        [
+            "--input_json", meta_path,
+            "--image_root", str(img_dir) + "/",
+            "--model", "vgg16",
+            "--batch_size", "2",
+            "--out_name", out_h5,
+        ]
+    )
+    import h5py
+
+    with h5py.File(out_h5) as f:
+        assert f["images_train"].shape == (3, 4096)
+        assert f["images_val"].shape == (2, 4096)
+        assert f["images_test"].shape == (1, 4096)
+        assert f["images_train"].dtype == np.float32
+        # deterministic: same image -> same features in each split
+        np.testing.assert_allclose(
+            f["images_train"][0], f["images_test"][0], rtol=1e-5
+        )
