@@ -183,6 +183,53 @@ def load_flat_h5(path: str) -> Dict[str, np.ndarray]:
         return {k: f[k][()] for k in f.keys()}
 
 
+def arch2_to_flat(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Arch2 model -> {cnn_w, encoder_w_q, multimodal_w} flat vectors
+    (003_train_vqa_arch2/003_train_ae_based.lua:406 pattern).  ``encoder_w_q``
+    is the ``nn.Encoder`` getParameters order: LSTM layers then the lookup
+    table weight (Encoder_lstm.lua builds encoder first, lookup second)."""
+    cnn = params["cnn_proj"]
+    cnn_w = np.concatenate(_linear_to_flat(cnn["w"], cnn["b"]))
+    encoder_w_q = np.concatenate(
+        [lstm_params_to_flat(params["encoder"]),
+         np.asarray(params["lookup"], np.float32).ravel()]
+    )
+    cls = params["classifier"]
+    multimodal_w = np.concatenate(_linear_to_flat(cls["w"], cls["b"]))
+    return {
+        "cnn_w": cnn_w.astype(np.float32),
+        "encoder_w_q": encoder_w_q.astype(np.float32),
+        "multimodal_w": multimodal_w.astype(np.float32),
+    }
+
+
+def arch2_from_flat(vectors: Dict[str, np.ndarray], cfg) -> Dict[str, Any]:
+    V, E, H, L = cfg.vocab_size, cfg.input_encoding_size, cfg.rnn_size, cfg.num_layers
+    F, O = cfg.nhimage, cfg.num_output
+
+    cv = np.asarray(vectors["cnn_w"], np.float32)
+    w, b, off = _linear_from_flat(cv, 0, F, E)
+    assert off == cv.size
+
+    ev = np.asarray(vectors["encoder_w_q"], np.float32)
+    lstm_size = sum(
+        (4 * H * (E if i == 0 else H) + 4 * H) + (4 * H * H + 4 * H)
+        for i in range(L)
+    )
+    encoder = lstm_params_from_flat(ev[:lstm_size], E, H, L)
+    lookup = ev[lstm_size:].reshape(V + 1, E).copy()
+
+    mv = np.asarray(vectors["multimodal_w"], np.float32)
+    cw, cb, off = _linear_from_flat(mv, 0, H, O)
+    assert off == mv.size
+    return {
+        "cnn_proj": {"w": w, "b": b},
+        "lookup": lookup,
+        "encoder": encoder,
+        "classifier": {"w": cw, "b": cb},
+    }
+
+
 # ---------------------------------------------------------------------------
 # AE transfer dumps ({lookup^T, encoder, [multimodal]})
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ class VQAData:
         seed: int = 123,
         load_test: bool = False,
         img_norm_split_dims: Optional[list] = None,
+        align: str = "right",  # "right" (arch1, :113-114) | "left" (arch2: none)
     ):
         with open(input_json) as f:
             meta = json.load(f)
@@ -82,9 +83,14 @@ class VQAData:
                 d[f"fv_im_{split}"] = np.asarray(f[f"images_{split}"][()], np.float32)
 
         for split in ("train", "val") if not load_test else ("test",):
-            d[f"question_{split}"] = right_align_fast(
-                d[f"question_{split}"].astype(np.int32), d[f"lengths_{split}"]
-            )
+            if align == "right":
+                d[f"question_{split}"] = right_align_fast(
+                    d[f"question_{split}"].astype(np.int32), d[f"lengths_{split}"]
+                )
+            else:
+                # arch2 keeps the natural left-aligned layout (its baseline
+                # never calls right_align)
+                d[f"question_{split}"] = d[f"question_{split}"].astype(np.int32)
             if img_norm:
                 fv = d[f"fv_im_{split}"]
                 if img_norm_split_dims:

@@ -1,0 +1,121 @@
+"""Arch2 VQA test-split inference CLI — port of
+003_train_vqa_arch2/004_eval_model{,_baseline}.lua: cnn_projection ->
+encoder -> classifier (:245-253), OE argmax + MC argmax-over-choices result
+JSON emission (same as arch1's eval tail)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from novel_vqa_tpu.core.checkpoint import arch2_from_flat, load_flat_h5
+from novel_vqa_tpu.core.config import parse_config
+from novel_vqa_tpu.data.vqa import VQAData
+from novel_vqa_tpu.models.vqa import arch2
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    input_img_h5: str = "data_img.h5"
+    input_ques_h5: str = "data_prepro.h5"
+    input_json: str = "data_prepro.json"
+    model_path: str = "models_vqa/lstm.h5"
+    batch_size: int = 500
+    input_encoding_size: int = 512
+    rnn_size: int = 512
+    num_layers: int = 1
+    num_output: int = 1000
+    img_norm: int = 1
+    nhimage: int = 4096
+    drop_prob_ae: float = 0.5
+    out_path: str = "result/"
+    result_name: str = "mscoco_val2014_lstm_novel_new_2"
+    dump_scores_h5: str = ""  # write raw score vectors (late-fusion input)
+    dump_scores_key: str = "Out"
+
+
+def main(argv=None):
+    opt = parse_config(EvalConfig, argv, description=__doc__)
+    os.makedirs(opt.out_path, exist_ok=True)
+
+    data = VQAData(
+        opt.input_ques_h5,
+        opt.input_img_h5,
+        opt.input_json,
+        img_norm=bool(opt.img_norm),
+        load_test=True,
+        align="left",
+    )
+    cfg = arch2.Arch2Config(
+        vocab_size=data.vocab_size,
+        input_encoding_size=opt.input_encoding_size,
+        rnn_size=opt.rnn_size,
+        num_layers=opt.num_layers,
+        nhimage=opt.nhimage,
+        num_output=opt.num_output,
+        seq_length=data.seq_length,
+        dropout=opt.drop_prob_ae,
+    )
+    params = arch2_from_flat(load_flat_h5(opt.model_path), cfg)
+
+    all_scores, all_qids = [], []
+    for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
+        _, scores = arch2.eval_step(
+            cfg,
+            params,
+            jnp.asarray(batch.tokens),
+            jnp.asarray(batch.image),
+            jnp.asarray(batch.labels),
+        )
+        real = len(batch.question_id)
+        all_scores.append(np.asarray(scores)[:real])
+        all_qids.append(batch.question_id)
+    scores = np.concatenate(all_scores)
+    qids = np.concatenate(all_qids)
+
+    ix_to_ans = data.ix_to_ans
+    pred = scores.argmax(axis=1) + 1
+    oe = [
+        {"question_id": int(q), "answer": ix_to_ans[str(int(p))]}
+        for q, p in zip(qids, pred)
+    ]
+    oe_path = os.path.join(opt.out_path, f"OpenEnded_{opt.result_name}_results.json")
+    with open(oe_path, "w") as f:
+        json.dump(oe, f)
+    print("wrote", oe_path)
+
+    mc_ans = data.d.get("mc_ans_test")
+    if mc_ans is not None:
+        mc = []
+        for i in range(len(qids)):
+            choices = mc_ans[i]
+            valid = choices[choices != 0].astype(np.int64)
+            best = (
+                int(valid[np.argmax(scores[i, valid - 1])]) if valid.size else int(pred[i])
+            )
+            mc.append({"question_id": int(qids[i]), "answer": ix_to_ans[str(best)]})
+        mc_path = os.path.join(
+            opt.out_path, f"MultipleChoice_{opt.result_name}_results.json"
+        )
+        with open(mc_path, "w") as f:
+            json.dump(mc, f)
+        print("wrote", mc_path)
+
+    if opt.dump_scores_h5:
+        import h5py
+
+        with h5py.File(opt.dump_scores_h5, "a") as f:
+            key = f"{opt.dump_scores_key}Test"
+            if key in f:
+                del f[key]
+            f.create_dataset(key, dtype="float32", data=scores)
+        print("wrote scores to", opt.dump_scores_h5)
+    return scores, qids
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Late-fusion ensemble — ports of
+002_train_vqa_arch1/003_compute_lf_answers.lua (score-vector precompute over
+train/val/test into one h5: ``/<prefix>Out{Train,Val,Test}``, :373-482) and
+004_eval_model_lf.lua (weighted sum of two stored score sets over the test
+split -> argmax -> OE/MC result JSONs, no model forward, :96-188).
+
+Subcommands:
+  compute  — run an arch1 model over the requested splits, appending
+             ``<prefix>Out<Split>`` float32 score matrices to ``--out_h5``
+             (run once per member model, e.g. prefix VGG then Inception);
+  eval     — scores = w_vgg * VGGOutTest + w_inception * InceptionOutTest,
+             then the standard OE/MC result emission.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import h5py
+import numpy as np
+
+
+def run_compute(args):
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
+    from novel_vqa_tpu.data.vqa import VQAData
+    from novel_vqa_tpu.models.vqa import arch1
+
+    splits = args.splits.split(",")
+    cfg_kwargs = dict(
+        input_encoding_size=args.input_encoding_size,
+        rnn_size=args.rnn_size,
+        rnn_layer=args.rnn_layer,
+        nhimage=args.nhimage,
+        common_embedding_size=args.common_embedding_size,
+        num_output=args.num_output,
+        fusion=args.fusion,
+    )
+
+    with h5py.File(args.out_h5, "a") as out:
+        for split in splits:
+            data = VQAData(
+                args.input_ques_h5,
+                args.input_img_h5,
+                args.input_json,
+                img_norm=bool(args.img_norm),
+                load_test=(split == "test"),
+            )
+            cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
+            params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
+            scores_all = []
+            for batch in data.iter_split(split, args.batch_size, pad_to_batch=True):
+                _, scores = arch1.eval_step(
+                    cfg,
+                    params,
+                    jnp.asarray(batch.tokens),
+                    jnp.asarray(batch.image),
+                    jnp.asarray(batch.labels),
+                )
+                scores_all.append(np.asarray(scores)[: len(batch.question_id)])
+            key = f"{args.prefix}Out{split.capitalize()}"
+            if key in out:
+                del out[key]
+            out.create_dataset(
+                key, dtype="float32", data=np.concatenate(scores_all)
+            )
+            print("wrote", key)
+
+
+def run_eval(args):
+    with h5py.File(args.scores_h5, "r") as f:
+        vgg = f["VGGOutTest"][()]
+        inception = f["InceptionOutTest"][()]
+    scores = args.weight_vgg * vgg + args.weight_inception * inception
+
+    with open(args.input_json) as f:
+        meta = json.load(f)
+    ix_to_ans = meta["ix_to_ans"]
+    with h5py.File(args.input_ques_h5, "r") as f:
+        qids = f["question_id_test"][()]
+        mc_ans = f["MC_ans_test"][()] if "MC_ans_test" in f else None
+    assert scores.shape[0] == qids.shape[0]
+
+    os.makedirs(args.out_path, exist_ok=True)
+    pred = scores.argmax(axis=1) + 1
+    oe = [
+        {"question_id": int(q), "answer": ix_to_ans[str(int(p))]}
+        for q, p in zip(qids, pred)
+    ]
+    oe_path = os.path.join(args.out_path, f"OpenEnded_{args.result_name}_results.json")
+    with open(oe_path, "w") as f:
+        json.dump(oe, f)
+    print("wrote", oe_path)
+
+    if mc_ans is not None:
+        mc = []
+        for i in range(len(qids)):
+            valid = mc_ans[i][mc_ans[i] != 0].astype(np.int64)
+            best = (
+                int(valid[np.argmax(scores[i, valid - 1])]) if valid.size else int(pred[i])
+            )
+            mc.append({"question_id": int(qids[i]), "answer": ix_to_ans[str(best)]})
+        mc_path = os.path.join(
+            args.out_path, f"MultipleChoice_{args.result_name}_results.json"
+        )
+        with open(mc_path, "w") as f:
+            json.dump(mc, f)
+        print("wrote", mc_path)
+
+
+def cli(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("compute")
+    p.add_argument("--input_img_h5", required=True)
+    p.add_argument("--input_ques_h5", required=True)
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--out_h5", default="outputVectors.h5")
+    p.add_argument("--prefix", default="VGG", help="VGG | Inception")
+    p.add_argument("--splits", default="train,val,test")
+    p.add_argument("--batch_size", default=500, type=int)
+    p.add_argument("--img_norm", default=1, type=int)
+    p.add_argument("--input_encoding_size", default=200, type=int)
+    p.add_argument("--rnn_size", default=512, type=int)
+    p.add_argument("--rnn_layer", default=2, type=int)
+    p.add_argument("--nhimage", default=4096, type=int)
+    p.add_argument("--common_embedding_size", default=1024, type=int)
+    p.add_argument("--num_output", default=1000, type=int)
+    p.add_argument("--fusion", default="axb")
+
+    p = sub.add_parser("eval")
+    p.add_argument("--scores_h5", default="outputVectors.h5")
+    p.add_argument("--input_ques_h5", required=True)
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--weight_vgg", default=0.5, type=float)
+    p.add_argument("--weight_inception", default=0.5, type=float)
+    p.add_argument("--out_path", default="result/")
+    p.add_argument("--result_name", default="mscoco_lstm")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "compute":
+        run_compute(args)
+    else:
+        run_eval(args)
+
+
+if __name__ == "__main__":
+    cli()
