@@ -40,6 +40,9 @@ class ConvertConfig:
 def main(argv=None):
     opt = parse_config(ConvertConfig, argv, description=__doc__)
     flat, meta = load_npz(opt.ae_model)
+    if "lookup" not in flat and any(k.startswith("ae/") for k in flat):
+        # weak-paired checkpoints store {"ae": ..., "cnn": ...}
+        flat = {k[3:]: v for k, v in flat.items() if k.startswith("ae/")}
 
     lookup = flat["lookup"]
     num_layers = len(

@@ -1,0 +1,125 @@
+"""Weak-paired AE trainer tests: loader with images, device prepro crop math,
+and both trainer variants (vqa_arch w/ encoder-skip, null w/ zeroing) running
+end-to-end with a small VGG trunk, plus the finetune gate."""
+
+import json
+import os
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from novel_vqa_tpu.data.weakpaired import (
+    WeakPairedLoader,
+    center_crop_offsets,
+    prepro_wp_images,
+    random_crop_offsets,
+)
+
+V, L = 20, 5
+
+
+@pytest.fixture(scope="module")
+def wp_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("wp")
+    rs = np.random.RandomState(0)
+    n_train, n_val, img_side = 40, 10, 40
+
+    def split(n):
+        lengths = rs.randint(1, L + 1, size=n)
+        labels = np.zeros((n, L), np.uint32)
+        for i, ln in enumerate(lengths):
+            labels[i, :ln] = rs.randint(1, V + 1, size=ln)
+        imgs = rs.randint(0, 255, size=(n, 3, img_side, img_side), dtype=np.uint8)
+        return labels, imgs
+
+    h5_path = str(tmp / "data.h5")
+    with h5py.File(h5_path, "w") as f:
+        for name, n in (("train", n_train), ("val", n_val), ("test", n_val)):
+            labels, imgs = split(n)
+            f.create_dataset(f"labels/{name}", dtype="uint32", data=labels)
+            f.create_dataset(f"images/{name}", dtype="uint8", data=imgs)
+    json_path = str(tmp / "data.json")
+    with open(json_path, "w") as f:
+        json.dump(
+            {
+                "ix_to_word": {str(i): f"w{i}" for i in range(1, V + 1)},
+                "num_train": n_train,
+                "num_val": n_val,
+                "num_test": n_val,
+            },
+            f,
+        )
+    # mean LSTM vector h5 (2 * rnn_size = 2 * 12)
+    mean_path = str(tmp / "lstm_mean.h5")
+    with h5py.File(mean_path, "w") as f:
+        f.create_dataset("mean_vector", data=rs.randn(1, 24).astype(np.float32))
+    return {"tmp": tmp, "h5": h5_path, "json": json_path, "mean": mean_path}
+
+
+def test_loader_images_nhwc(wp_files):
+    loader = WeakPairedLoader(wp_files["h5"], wp_files["json"])
+    labels, imgs, bounds = loader.get_batch_with_images("train", 8)
+    assert labels.shape == (L, 8)
+    assert imgs.shape == (8, 40, 40, 3) and imgs.dtype == np.uint8
+    loader.close()
+
+
+def test_prepro_crop_math():
+    u8 = np.zeros((2, 8, 8, 3), np.uint8)
+    u8[0, 2, 3] = [200, 150, 100]
+    offsets = np.asarray([[2, 3], [0, 0]], np.int32)
+    out = np.asarray(prepro_wp_images(jnp.asarray(u8), jnp.asarray(offsets), 4))
+    assert out.shape == (2, 4, 4, 3)
+    # pixel (2,3) lands at (0,0) of the crop; RGB mean subtracted in RGB order
+    np.testing.assert_allclose(out[0, 0, 0], [200 - 123.68, 150 - 116.779, 100 - 103.939], rtol=1e-5)
+
+    off = center_crop_offsets(3, 256, 224)
+    assert (off == 16).all()
+    rng = np.random.default_rng(0)
+    off = random_crop_offsets(rng, 100, 256, 224)
+    assert off.min() >= 0 and off.max() <= 32
+
+
+@pytest.mark.parametrize("variant", ["vqa_arch", "null"])
+def test_wp_trainer_runs(wp_files, variant):
+    from novel_vqa_tpu.train import train_weakpaired_ae
+
+    ckpt = str(wp_files["tmp"] / f"wp_{variant}")
+    os.makedirs(ckpt, exist_ok=True)
+    args = [
+        "--input_h5", wp_files["h5"],
+        "--input_json", wp_files["json"],
+        "--variant", variant,
+        "--rnn_size", "12",
+        "--input_encoding_size", "16",
+        "--batch_size", "8",
+        "--max_iters", "6",
+        "--save_checkpoint_every", "5",
+        "--val_sentences_use", "10",
+        "--losses_log_every", "2",
+        "--checkpoint_path", ckpt,
+        "--image_size", "40",
+        "--crop_size", "32",
+        "--nhimage", "4096",
+        "--finetune_cnn_after", "3",  # exercise the gate flip mid-run
+        "--cnn_learning_rate", "1e-6",
+    ]
+    if variant == "vqa_arch":
+        args += ["--lstm_average_path", wp_files["mean"]]
+    train_weakpaired_ae.main(args)
+    assert os.path.exists(os.path.join(ckpt, "model_id.npz"))
+
+    # the wp checkpoint converts to the VQA transfer h5 (005_convert path)
+    from novel_vqa_tpu.train import convert_ae
+
+    out = os.path.join(ckpt, "converted.h5")
+    conv_args = ["--ae_model", os.path.join(ckpt, "model_id.npz"), "--out", out]
+    if variant == "vqa_arch":
+        conv_args += ["--include_multimodal", "1"]
+    convert_ae.main(conv_args)
+    with h5py.File(out) as f:
+        assert "lookup" in f and "encoder" in f
+        if variant == "vqa_arch":
+            assert "multimodal" in f
