@@ -70,7 +70,16 @@ def lstm_step(
     c: jax.Array,
     h: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One fused-gate LSTM step. x: (N, in); c, h: (N, H). Returns (c', h')."""
+    """One fused-gate LSTM step. x: (N, in); c, h: (N, H). Returns (c', h').
+
+    Set ``NOVEL_VQA_PALLAS=1`` to route through the fused Pallas kernel on
+    TPU (ops/pallas_lstm.py) — same math, single on-chip pass."""
+    import os
+
+    if os.environ.get("NOVEL_VQA_PALLAS") == "1" and jax.default_backend() == "tpu":
+        from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_step
+
+        return pallas_lstm_step(params, x, c, h)
     rnn_size = c.shape[-1]
     gates = (
         jnp.dot(x, params["wx"], preferred_element_type=jnp.float32)

@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: fused LSTM step.
+
+The train-step hot loop is the per-timestep fused-gate computation
+(misc/LSTM_encoder.lua:32-50 -> ops/lstm.lstm_step).  The XLA lowering
+materializes the (N, 4H) pre-activation ``gates`` tensor in HBM between the
+two GEMMs and the VPU epilogue; this kernel keeps the whole step on-chip:
+
+    per batch tile (TILE_N rows):
+        gates = x_tile @ Wx + h_tile @ Wh + (bx + bh)     (two MXU passes)
+        i,f,o = sigmoid(gates[:, :3H]); g = tanh(gates[:, 3H:])
+        c' = f*c + i*g; h' = o*tanh(c')                   (VPU, in-register)
+
+Weights live in VMEM for the duration of the kernel (Wx: In x 4H, Wh: H x 4H
+— 5.6 MB fp32 at the reference sizes, comfortably under the ~16 MB budget),
+and only x/h/c tiles stream per grid step.
+
+The op carries a custom VJP (the standard LSTM backward in XLA ops — the
+backward is bandwidth-bound on dz and autodiff of the fused forward is not
+available through ``pallas_call``), so it is a drop-in replacement for
+``lstm_step`` under ``jax.grad``.  Selection: ``lstm_step_auto`` uses the
+Pallas path on TPU and falls back to the XLA path elsewhere (tests run it in
+interpreter mode for exactness).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from novel_vqa_tpu.ops.lstm import lstm_step as xla_lstm_step
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fused_step_kernel(x_ref, h_ref, c_ref, wx_ref, wh_ref, b_ref, c_out_ref, h_out_ref):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    H = c_ref.shape[-1]
+    gates = (
+        jnp.dot(x_ref[:], wx_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h_ref[:], wh_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:]
+    )
+    i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+    o = jax.nn.sigmoid(gates[:, 2 * H : 3 * H])
+    g = jnp.tanh(gates[:, 3 * H : 4 * H])
+    c_new = f * c_ref[:] + i * g
+    c_out_ref[:] = c_new
+    h_out_ref[:] = o * jnp.tanh(c_new)
+
+
+def _pallas_forward(x, h, c, wx, wh, b, *, tile_n: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, In = x.shape
+    H = c.shape[-1]
+    pad_n = _round_up(max(N, 8), tile_n)
+    if pad_n != N:
+        x = jnp.pad(x, ((0, pad_n - N), (0, 0)))
+        h = jnp.pad(h, ((0, pad_n - N), (0, 0)))
+        c = jnp.pad(c, ((0, pad_n - N), (0, 0)))
+
+    grid = (pad_n // tile_n,)
+    spec_row = lambda width: pl.BlockSpec(
+        (tile_n, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    c_new, h_new = pl.pallas_call(
+        _fused_step_kernel,
+        grid=grid,
+        in_specs=[
+            spec_row(In),
+            spec_row(H),
+            spec_row(H),
+            full(wx.shape),
+            full(wh.shape),
+            full((1, b.shape[0])),
+        ],
+        out_specs=(spec_row(H), spec_row(H)),
+        out_shape=(
+            jax.ShapeDtypeStruct((pad_n, H), jnp.float32),
+            jax.ShapeDtypeStruct((pad_n, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, h, c, wx, wh, b.reshape(1, -1))
+    return c_new[:N], h_new[:N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused_lstm_step(x, h, c, wx, wh, b, tile_n, interpret):
+    return _pallas_forward(x, h, c, wx, wh, b, tile_n=tile_n, interpret=interpret)
+
+
+def _fwd(x, h, c, wx, wh, b, tile_n, interpret):
+    c_new, h_new = _pallas_forward(x, h, c, wx, wh, b, tile_n=tile_n, interpret=interpret)
+    return (c_new, h_new), (x, h, c, wx, wh, b, c_new)
+
+
+def _bwd(tile_n, interpret, res, grads):
+    x, h, c, wx, wh, b, c_new = res
+    dc_new, dh_new = grads
+    H = c.shape[-1]
+    # recompute the gate activations (cheap, bandwidth-bound backward)
+    gates = x @ wx + h @ wh + b
+    i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+    o = jax.nn.sigmoid(gates[:, 2 * H : 3 * H])
+    g = jnp.tanh(gates[:, 3 * H : 4 * H])
+    tanh_c = jnp.tanh(c_new)
+    dc_total = dc_new + dh_new * o * (1.0 - tanh_c * tanh_c)
+    do = dh_new * tanh_c
+    df = dc_total * c
+    di = dc_total * g
+    dg = dc_total * i
+    dz = jnp.concatenate(
+        [
+            di * i * (1 - i),
+            df * f * (1 - f),
+            do * o * (1 - o),
+            dg * (1 - g * g),
+        ],
+        axis=-1,
+    )
+    dx = dz @ wx.T
+    dh = dz @ wh.T
+    dc = dc_total * f
+    dwx = x.T @ dz
+    dwh = h.T @ dz
+    db = jnp.sum(dz, axis=0)
+    return dx, dh, dc, dwx, dwh, db
+
+
+_fused_lstm_step.defvjp(_fwd, _bwd)
+
+
+def pallas_lstm_step(
+    params: Dict[str, jax.Array],
+    x: jax.Array,
+    c: jax.Array,
+    h: jax.Array,
+    *,
+    tile_n: int = 256,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in fused replacement for :func:`ops.lstm.lstm_step`."""
+    b = params["bx"] + params["bh"]
+    return _fused_lstm_step(
+        x, h, c, params["wx"], params["wh"], b, tile_n, interpret
+    )
+
+
+def lstm_step_auto(params, x, c, h):
+    """Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return pallas_lstm_step(params, x, c, h)
+    return xla_lstm_step(params, x, c, h)

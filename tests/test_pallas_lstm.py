@@ -1,0 +1,53 @@
+"""Pallas fused LSTM step: interpreter-mode parity with the XLA step,
+forward and backward (custom VJP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from novel_vqa_tpu.ops.lstm import lstm_layer_init, lstm_step
+from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_step
+
+
+def make_inputs(N=20, In=16, H=32, seed=0):
+    params = jax.device_get(lstm_layer_init(jax.random.PRNGKey(seed), In, H))
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(N, In).astype(np.float32))
+    c = jnp.asarray(rs.randn(N, H).astype(np.float32))
+    h = jnp.asarray(rs.randn(N, H).astype(np.float32))
+    return params, x, c, h
+
+
+def test_forward_matches_xla():
+    params, x, c, h = make_inputs()
+    c1, h1 = lstm_step(params, x, c, h)
+    c2, h2 = pallas_lstm_step(params, x, c, h, tile_n=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-6)
+
+
+def test_forward_with_batch_padding():
+    # N not a multiple of the tile: padding path
+    params, x, c, h = make_inputs(N=13)
+    c1, h1 = lstm_step(params, x, c, h)
+    c2, h2 = pallas_lstm_step(params, x, c, h, tile_n=8, interpret=True)
+    assert c2.shape == (13, 32)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-6)
+
+
+def test_custom_vjp_matches_autodiff():
+    params, x, c, h = make_inputs(N=8, In=12, H=16, seed=1)
+
+    def loss_ref(params, x, c, h):
+        c2, h2 = lstm_step(params, x, c, h)
+        return jnp.sum(jnp.sin(c2)) + jnp.sum(h2 * h2)
+
+    def loss_pl(params, x, c, h):
+        c2, h2 = pallas_lstm_step(params, x, c, h, tile_n=8, interpret=True)
+        return jnp.sum(jnp.sin(c2)) + jnp.sum(h2 * h2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, x, c, h)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(params, x, c, h)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
