@@ -1,0 +1,252 @@
+// imagepipe: native image decode + resize for the feature-extraction input
+// pipeline.
+//
+// The reference's image path is Torch7's C `image` library driven serially
+// from Lua (002_train_vqa_arch1/001_prepro_img_vgg.lua:47-71 loadim; the GPU
+// idles while the host decodes - SURVEY.md section 3.3). This library is the
+// TPU-native equivalent: JPEG (libjpeg) / PNG (libpng) decode, optional
+// center-crop-to-square, bilinear resize to NxN, uint8 RGB output, with a
+// pthread worker pool for batch decode. Python binds via ctypes
+// (novel_vqa_tpu/data/native_images.py); device-side normalization stays in
+// JAX (data/images.py).
+//
+// C ABI:
+//   imagepipe_decode_resize(path, size, center_crop, out[size*size*3])
+//       -> 0 ok, 1 missing file, 2 decode error
+//   imagepipe_decode_batch(paths, n, size, center_crop, n_threads, out, status)
+//       -> number of successfully decoded images
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+#include <pthread.h>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0, channels = 0;
+  uint8_t* data = nullptr;  // HWC, RGB or gray
+};
+
+// ---------------------------------------------------------------------------
+// JPEG decode
+// ---------------------------------------------------------------------------
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->channels = 3;
+  out->data = static_cast<uint8_t*>(malloc(size_t(out->w) * out->h * 3));
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decode
+// ---------------------------------------------------------------------------
+
+bool decode_png(FILE* f, Image* out) {
+  png_byte header[8];
+  if (fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  // normalize to 8-bit RGB
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY || color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  // drop alpha (the reference drops RGBA's alpha channel, loadim :62-64)
+  if (color_type & PNG_COLOR_MASK_ALPHA || png_get_valid(png, info, PNG_INFO_tRNS))
+    png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->channels = 3;
+  out->data = static_cast<uint8_t*>(malloc(size_t(out->w) * out->h * 3));
+  png_bytep* rows =
+      static_cast<png_bytep*>(malloc(sizeof(png_bytep) * out->h));
+  for (int y = 0; y < out->h; y++)
+    rows[y] = out->data + size_t(y) * out->w * 3;
+  png_read_image(png, rows);
+  free(rows);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// bilinear resize (matches PIL/torch `image.scale` bilinear semantics closely
+// enough for feature parity; exactness at the pixel level is not required -
+// decode libraries already differ at the rounding level)
+// ---------------------------------------------------------------------------
+
+void bilinear_resize(const uint8_t* src, int sw, int sh, int x0, int y0,
+                     int cw, int ch, uint8_t* dst, int dw, int dh) {
+  const float sx = float(cw) / dw;
+  const float sy = float(ch) / dh;
+  for (int y = 0; y < dh; y++) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int iy = int(fy);
+    if (fy < 0) { fy = 0; iy = 0; }
+    if (iy >= ch - 1) iy = ch - 2 < 0 ? 0 : ch - 2;
+    float wy = fy - iy;
+    if (ch == 1) { iy = 0; wy = 0; }
+    for (int x = 0; x < dw; x++) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int ix = int(fx);
+      if (fx < 0) { fx = 0; ix = 0; }
+      if (ix >= cw - 1) ix = cw - 2 < 0 ? 0 : cw - 2;
+      float wx = fx - ix;
+      if (cw == 1) { ix = 0; wx = 0; }
+      const uint8_t* p00 = src + (size_t(y0 + iy) * sw + (x0 + ix)) * 3;
+      const uint8_t* p01 = p00 + 3;
+      const uint8_t* p10 = p00 + size_t(sw) * 3;
+      const uint8_t* p11 = p10 + 3;
+      for (int c = 0; c < 3; c++) {
+        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        dst[(size_t(y) * dw + x) * 3 + c] = uint8_t(v + 0.5f);
+      }
+    }
+  }
+}
+
+int decode_one(const char* path, int size, int center_crop, uint8_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;  // missing
+  Image img;
+  // sniff format by magic bytes
+  uint8_t magic[8] = {0};
+  size_t got = fread(magic, 1, 8, f);
+  fseek(f, 0, SEEK_SET);
+  bool ok = false;
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    ok = decode_jpeg(f, &img);
+  } else if (got >= 8 && !png_sig_cmp(magic, 0, 8)) {
+    ok = decode_png(f, &img);
+  } else {
+    ok = decode_jpeg(f, &img);  // try jpeg as default
+  }
+  fclose(f);
+  if (!ok || img.data == nullptr) {
+    free(img.data);
+    return 2;
+  }
+  int x0 = 0, y0 = 0, cw = img.w, ch = img.h;
+  if (center_crop) {
+    int m = img.w < img.h ? img.w : img.h;
+    x0 = (img.w - m) / 2;
+    y0 = (img.h - m) / 2;
+    cw = ch = m;
+  }
+  bilinear_resize(img.data, img.w, img.h, x0, y0, cw, ch, out, size, size);
+  free(img.data);
+  return 0;
+}
+
+struct BatchTask {
+  const char** paths;
+  int n;
+  int size;
+  int center_crop;
+  uint8_t* out;
+  int* status;
+  int next;  // guarded by mutex
+  pthread_mutex_t mutex;
+};
+
+void* batch_worker(void* arg) {
+  BatchTask* t = static_cast<BatchTask*>(arg);
+  for (;;) {
+    pthread_mutex_lock(&t->mutex);
+    int i = t->next++;
+    pthread_mutex_unlock(&t->mutex);
+    if (i >= t->n) break;
+    t->status[i] = decode_one(t->paths[i], t->size, t->center_crop,
+                              t->out + size_t(i) * t->size * t->size * 3);
+  }
+  return nullptr;
+}
+
+}  // namespace
+
+extern "C" {
+
+int imagepipe_decode_resize(const char* path, int size, int center_crop,
+                            uint8_t* out) {
+  return decode_one(path, size, center_crop, out);
+}
+
+int imagepipe_decode_batch(const char** paths, int n, int size,
+                           int center_crop, int n_threads, uint8_t* out,
+                           int* status) {
+  BatchTask task{paths, n, size, center_crop, out, status, 0,
+                 PTHREAD_MUTEX_INITIALIZER};
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  pthread_t threads[64];
+  if (n_threads > 64) n_threads = 64;
+  for (int i = 0; i < n_threads; i++)
+    pthread_create(&threads[i], nullptr, batch_worker, &task);
+  for (int i = 0; i < n_threads; i++) pthread_join(threads[i], nullptr);
+  int ok = 0;
+  for (int i = 0; i < n; i++) ok += (status[i] == 0);
+  return ok;
+}
+
+}  // extern "C"

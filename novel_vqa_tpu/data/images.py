@@ -61,17 +61,32 @@ class DecodePool:
     (001_prepro_img_vgg.lua:101-113, SURVEY.md section 3.3); here batch i+1
     decodes while the device runs batch i."""
 
-    def __init__(self, size: int, center_crop_square: bool = False, workers: int = 8):
+    def __init__(
+        self,
+        size: int,
+        center_crop_square: bool = False,
+        workers: int = 8,
+        use_native: bool = True,
+    ):
         self.size = size
         self.center_crop_square = center_crop_square
-        self.pool = ThreadPoolExecutor(max_workers=workers)
+        self.workers = workers
+        self.pool = ThreadPoolExecutor(max_workers=2)  # batch-level prefetch
+        if use_native:
+            from novel_vqa_tpu.data import native_images
+
+            self.native = native_images if native_images.available() else None
+        else:
+            self.native = None
 
     def _decode_batch(self, paths: Sequence[str]):
-        results = list(
-            self.pool.map(
-                lambda p: decode_resize(p, self.size, self.center_crop_square), paths
+        if self.native is not None:
+            return self.native.decode_batch_native(
+                list(paths), self.size, self.center_crop_square, self.workers
             )
-        )
+        results = [
+            decode_resize(p, self.size, self.center_crop_square) for p in paths
+        ]
         imgs = np.stack([r[0] for r in results])
         missing = np.asarray([r[1] for r in results], bool)
         return imgs, missing
