@@ -47,7 +47,7 @@ class ExtractConfig:
     limit: int = -1  # cap images per split (for smoke tests)
 
 
-def build_model(name: str, weights: str, tap: str, seed: int):
+def build_model(name: str, weights: str, tap: str, seed: int, batch_size: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -84,6 +84,21 @@ def build_model(name: str, weights: str, tap: str, seed: int):
         )
         params = net.init_params(jax.random.PRNGKey(seed), cfg)
 
+    # batch-sharded DP over the mesh when more than one chip is attached
+    # (SURVEY.md section 2.8: image batch sharded over chips, features
+    # gathered to host in global order so the h5 layout is unchanged)
+    if len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
+        from novel_vqa_tpu.parallel import batch_sharded, make_mesh, replicated
+
+        mesh = make_mesh()
+        params = jax.device_put(params, replicated(mesh))
+        forward = jax.jit(
+            lambda params, u8, missing: apply_fn(params=params, images=prepro(u8, missing)),
+            in_shardings=(replicated(mesh), batch_sharded(mesh), batch_sharded(mesh)),
+            out_shardings=replicated(mesh),
+        )
+        return functools.partial(forward, params), size, crop, ndims
+
     @jax.jit
     def forward(u8, missing):
         return apply_fn(params=params, images=prepro(u8, missing))
@@ -100,9 +115,9 @@ def main(argv=None):
     with open(opt.input_json) as f:
         meta = json.load(f)
 
-    models = [build_model(opt.model, opt.weights, opt.tap, opt.seed)]
+    models = [build_model(opt.model, opt.weights, opt.tap, opt.seed, opt.batch_size)]
     if opt.model2:
-        models.append(build_model(opt.model2, opt.weights2, opt.tap, opt.seed))
+        models.append(build_model(opt.model2, opt.weights2, opt.tap, opt.seed, opt.batch_size))
 
     with h5py.File(opt.out_name, "w") as out:
         for split in ("train", "test", "val"):
