@@ -26,8 +26,25 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = "data",
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """1-D mesh over ``devices`` (default: the platform's devices).
+
+    When ``n_devices`` exceeds the default platform's device count, fall back
+    to the CPU backend's devices — the virtual
+    ``--xla_force_host_platform_device_count`` mesh is always available
+    alongside a single attached TPU chip, so multichip dry-runs work without
+    switching the default platform.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devices = cpu
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
