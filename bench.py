@@ -63,27 +63,31 @@ def main():
         ),
     }
 
-    step_rngs = jax.random.split(jax.random.PRNGKey(1), warmup + iters)
+    # steady-state path: lax.scan over steps with on-device batch sampling
+    # (arch1.train_steps_scan) — zero per-step host work; chunk size bounds
+    # the loss-history granularity
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", 25))
+    step_rngs = jax.random.split(jax.random.PRNGKey(1), 1 + (warmup + iters))
     state = [params, opt_state]
 
-    def run(n, offset):
-        loss = None
-        for i in range(n):
-            qinds = jnp.asarray(
-                rs.randint(0, n_questions, size=batch_size), jnp.int32
+    def run(n_chunks, offset):
+        losses = None
+        for i in range(n_chunks):
+            state[0], state[1], losses = arch1.train_steps_scan(
+                cfg, tx, state[0], state[1], data, scan_steps, batch_size,
+                step_rngs[offset + i],
             )
-            state[0], state[1], loss = arch1.train_step_indexed(
-                cfg, tx, state[0], state[1], data, qinds, step_rngs[offset + i]
-            )
-        return loss
+        return losses
 
-    loss = run(warmup, 0)
-    loss.block_until_ready()
+    warm_chunks = max(1, warmup // scan_steps)
+    chunks = max(1, iters // scan_steps)
+    losses = run(warm_chunks, 0)
+    losses.block_until_ready()
     t0 = time.perf_counter()
-    loss = run(iters, warmup)
-    loss.block_until_ready()
+    losses = run(chunks, warm_chunks)
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
-    qps = batch_size * iters / dt
+    qps = batch_size * chunks * scan_steps / dt
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs = None

@@ -187,6 +187,50 @@ def eval_step(cfg: Arch1Config, params, tokens, image, labels):
     return cross_entropy(scores, labels), scores
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 5, 6), donate_argnums=(2, 3))
+def train_steps_scan(
+    cfg: Arch1Config,
+    tx: optax.GradientTransformation,
+    params,
+    opt_state,
+    data,  # HBM-resident dict (see train_step_indexed)
+    n_steps: int,
+    batch_size: int,
+    rng,
+):
+    """Run ``n_steps`` training iterations in ONE dispatch via ``lax.scan``.
+
+    Batch sampling moves on-device (uniform with replacement via
+    ``jax.random.randint`` — statistical parity with the reference's
+    ``torch.random`` draw, 002_train_baseline.lua:203; exact RNG coupling is
+    impossible either way, SURVEY.md section 7).  This removes the per-step
+    host dispatch entirely — the steady-state production path, and the right
+    shape for high-latency links between host and device.
+
+    Returns (params, opt_state, losses (n_steps,)).
+    """
+    n = data["tokens"].shape[0]
+
+    def body(carry, step_rng):
+        params, opt_state = carry
+        k_sample, k_drop = jax.random.split(step_rng)
+        qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
+        tokens = jnp.take(data["tokens"], qinds, axis=0)
+        labels = jnp.take(data["answers"], qinds, axis=0)
+        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
+        image = jnp.take(data["image"], iminds, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, tokens, image, labels, k_drop
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    step_rngs = jax.random.split(rng, n_steps)
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
+    return params, opt_state, losses
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
 def train_step_indexed(
     cfg: Arch1Config,
