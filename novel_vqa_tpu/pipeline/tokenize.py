@@ -76,4 +76,11 @@ def get_tokenizer(method: str):
         return lambda s: word_tokenize(str(s).lower())
     if method == "regex":
         return tokenize_regex
+    if method == "spacy":
+        # the reference's optional spaCy unigram-paraphrase branch
+        # (000_prepro_vqa.py:48-49); spaCy is not in this image
+        raise RuntimeError(
+            "token_method 'spacy' requires spaCy (not available offline); "
+            "use 'nltk' (arch1), 'treebank' (arch2), or 'regex'"
+        )
     raise ValueError(method)

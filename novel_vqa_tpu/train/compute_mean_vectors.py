@@ -58,10 +58,15 @@ def run_lstm(args):
 
     total = np.zeros((2 * cfg.rnn_size,), np.float64)
     count = 0
+    n_split = loader.split_count[args.split]
     loader.reset_iterator(args.split)
     while True:
         labels, bounds = loader.get_batch(args.split, args.batch_size)
         vecs = np.asarray(encode_batch(jnp.asarray(labels)))
+        if bounds["wrapped"]:
+            # the wrap-around batch re-reads head sentences; average each
+            # sentence exactly once
+            vecs = vecs[: n_split - count]
         total += vecs.sum(axis=0)
         count += vecs.shape[0]
         if bounds["wrapped"] or (0 < args.max_sentences <= count):

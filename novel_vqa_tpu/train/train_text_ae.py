@@ -69,6 +69,10 @@ class AETrainConfig:
     id: str = ""
     seed: int = 123
     sample_print: int = 0  # print N greedy samples per eval (reference prints all)
+    # 1 = score greedy reconstructions with local BLEU/CIDEr and gate the
+    # best checkpoint on CIDEr (the reference shells out to coco-caption,
+    # net_utils.lua:326-334; eval/language_metrics.py implements the metrics)
+    language_eval: int = 0
 
 
 def make_tx(opt: AETrainConfig) -> optax.GradientTransformation:
@@ -171,6 +175,7 @@ def main(argv=None):
         loader.reset_iterator(split)
         loss_sum, loss_evals, n = 0.0, 0, 0
         printed = 0
+        predictions = []
         while True:
             labels, bounds = loader.get_batch(split, opt.batch_size)
             seq = jnp.asarray(labels)
@@ -178,18 +183,29 @@ def main(argv=None):
             loss_sum += loss
             loss_evals += 1
             n += labels.shape[1]
-            if printed < opt.sample_print:
+            if printed < opt.sample_print or opt.language_eval:
                 toks = np.asarray(sample_step(params, seq, zero_imgs))
                 preds = decode_sequence(loader.ix_to_word, toks)
                 actuals = decode_sequence(loader.ix_to_word, labels)
-                for p, a in list(zip(preds, actuals))[: opt.sample_print - printed]:
+                if opt.language_eval:
+                    predictions += [
+                        {"prediction": p, "actual": a}
+                        for p, a in zip(preds, actuals)
+                    ]
+                for p, a in list(zip(preds, actuals))[: max(0, opt.sample_print - printed)]:
                     print(f"Prediction: {p} ||| Actual: {a}")
                     printed += 1
             if bounds["wrapped"]:
                 break
             if 0 <= opt.val_sentences_use <= n:
                 break
-        return loss_sum / max(1, loss_evals)
+        lang_stats = None
+        if opt.language_eval and predictions:
+            from novel_vqa_tpu.eval.language_metrics import language_eval
+
+            lang_stats = language_eval(predictions)
+            print("language eval:", lang_stats)
+        return loss_sum / max(1, loss_evals), lang_stats
 
     rng = jax.random.PRNGKey(opt.seed)
     loss0 = None
@@ -217,7 +233,7 @@ def main(argv=None):
                 break
 
         if it % opt.save_checkpoint_every == 0 or it == opt.max_iters - 1:
-            val_loss = eval_split("val")
+            val_loss, lang_stats = eval_split("val")
             val_loss_history[it] = val_loss
             print(f"validation loss: {val_loss}")
 
@@ -232,7 +248,11 @@ def main(argv=None):
                     },
                     f,
                 )
-            current_score = -val_loss
+            # CIDEr gating when language eval is on, else -val_loss
+            # (001_train_arch1_text_autoencoder.lua:296-318)
+            current_score = (
+                lang_stats["CIDEr"] if lang_stats is not None else -val_loss
+            )
             if best_score is None or current_score > best_score:
                 best_score = current_score
                 save_npz(
