@@ -149,17 +149,25 @@ def make_optimizer(
     grad_clamp: float = 10.0,  # :329
     alpha: float = 0.99,
     epsilon: float = 1e-8,
+    grad_scales=None,
 ) -> optax.GradientTransformation:
-    """clamp(+-10) then reference rmsprop with per-step multiplicative decay
-    (:408-410)."""
-    return optax.chain(
+    """[optional grad scaling] -> clamp(+-10) -> reference rmsprop with
+    per-step multiplicative decay (:408-410).  ``grad_scales`` is a pytree of
+    factors matching the params (the wp variant's ``-lr_scale`` on the
+    encoder/embedding blocks, 003_train_ae_based_wp.lua:344 — applied before
+    the clamp, as in the reference)."""
+    chain = []
+    if grad_scales is not None:
+        chain.append(ref_optim.scale_by_tree(grad_scales))
+    chain += [
         ref_optim.clamp(grad_clamp),
         ref_optim.rmsprop(
             ref_optim.exponential_decay_schedule(learning_rate, decay_factor),
             alpha=alpha,
             epsilon=epsilon,
         ),
-    )
+    ]
+    return optax.chain(*chain)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))

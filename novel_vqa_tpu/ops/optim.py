@@ -270,6 +270,24 @@ def add_decayed_weights(weight_decay: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def scale_by_tree(scales) -> optax.GradientTransformation:
+    """Element-wise gradient scaling by a pytree of (scalar) factors matching
+    the params structure — the reference's ``-lr_scale`` multiplies the
+    encoder and embedding gradient blocks before clamping
+    (002_train_vqa_arch1/003_train_ae_based_wp.lua:344)."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        return (
+            jax.tree_util.tree_map(lambda g, s: g * s, grads, scales),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def exponential_decay_schedule(lr0: float, decay_factor: float) -> Schedule:
     """Per-iteration multiplicative decay: iteration k uses lr0 * d^k,
     matching ``optimize.learningRate = optimize.learningRate * decay_factor``

@@ -73,6 +73,10 @@ class AETrainConfig:
     # best checkpoint on CIDEr (the reference shells out to coco-caption,
     # net_utils.lua:326-334; eval/language_metrics.py implements the metrics)
     language_eval: int = 0
+    # >1: HBM-resident corpus + lax.scan over that many sequential-with-wrap
+    # iterations per dispatch (exact DataLoader iterator semantics, including
+    # the head re-read on wrap); 1 = per-step host h5 reads
+    steps_per_dispatch: int = 1
 
 
 def make_tx(opt: AETrainConfig) -> optax.GradientTransformation:
@@ -207,6 +211,43 @@ def main(argv=None):
             print("language eval:", lang_stats)
         return loss_sum / max(1, loss_evals), lang_stats
 
+    chunk = max(1, opt.steps_per_dispatch)
+    if chunk > 1:
+        # whole train split HBM-resident; scan implements the sequential
+        # iterator with the reference's exact wrap semantics
+        # (misc/DataLoader.lua:58-88)
+        train_rows = jnp.asarray(
+            loader.h5["labels/train"][()].astype(np.int32)
+        )  # (N, L)
+        n_rows = train_rows.shape[0]
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_steps_scan(params, opt_state, offset, rng):
+            def body(carry, step_rng):
+                params, opt_state, offset = carry
+                base = jnp.where(offset < n_rows - 1, offset, 0)
+                idx = base + jnp.arange(opt.batch_size)
+                idx = jnp.where(idx < n_rows, idx, idx - n_rows)
+                seq = jnp.take(train_rows, idx, axis=0).T  # (L, bs)
+                kwargs = {"imgs": zero_imgs} if needs_imgs else {}
+                loss, grads = jax.value_and_grad(ae.loss_fn)(
+                    params, cfg, seq, step_rng, **kwargs
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                offset = jnp.where(
+                    offset + opt.batch_size > n_rows, 0, offset + opt.batch_size
+                )
+                return (params, opt_state, offset), loss
+
+            step_rngs = jax.random.split(rng, chunk)
+            (params, opt_state, offset), losses = jax.lax.scan(
+                body, (params, opt_state, offset), step_rngs
+            )
+            return params, opt_state, offset, losses
+
+        scan_offset = jnp.asarray(0, jnp.int32)
+
     rng = jax.random.PRNGKey(opt.seed)
     loss0 = None
     best_score = None
@@ -214,13 +255,22 @@ def main(argv=None):
     val_loss_history = {}
     it = 0
     while True:
-        labels, _ = loader.get_batch("train", opt.batch_size)
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss = train_step(
-            params, opt_state, jnp.asarray(labels), zero_imgs, sub
-        )
+        if chunk > 1:
+            params, opt_state, scan_offset, losses = train_steps_scan(
+                params, opt_state, scan_offset, sub
+            )
+            loss = losses[-1]
+            it += chunk - 1  # the loop tail below adds the final 1
+        else:
+            labels, _ = loader.get_batch("train", opt.batch_size)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(labels), zero_imgs, sub
+            )
 
-        if opt.losses_log_every > 0 and it % opt.losses_log_every == 0:
+        # with chunked dispatch the modulo cadences fire when the window
+        # [it-chunk+1, it] crosses the boundary
+        if opt.losses_log_every > 0 and it % opt.losses_log_every < chunk:
             f = float(loss)
             loss_history[it] = f
             print(f"iter {it}: {f:.6f}")
@@ -232,7 +282,7 @@ def main(argv=None):
                 print("loss seems to be exploding, quitting.")
                 break
 
-        if it % opt.save_checkpoint_every == 0 or it == opt.max_iters - 1:
+        if it % opt.save_checkpoint_every < chunk or it >= opt.max_iters - 1:
             val_loss, lang_stats = eval_split("val")
             val_loss_history[it] = val_loss
             print(f"validation loss: {val_loss}")

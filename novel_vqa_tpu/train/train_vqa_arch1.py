@@ -64,6 +64,9 @@ class TrainConfig:
     init_from: str = ""  # converted-AE transfer h5 (003_train_ae_based.lua)
     fusion: str = "axb"  # axb | askipb (wp variant)
     grad_clamp: float = 10.0
+    # gradient downweighting of the encoder+embedding blocks
+    # (003_train_ae_based_wp.lua:30,:344)
+    lr_scale: float = 1.0
     log_every: int = 100
     # >1 runs that many iterations per device dispatch via lax.scan with
     # on-device batch sampling (arch1.train_steps_scan) — the steady-state
@@ -132,10 +135,18 @@ def main(argv=None):
         fusion=opt.fusion,
     )
     params = build_params(opt, cfg)
+    grad_scales = None
+    if opt.lr_scale != 1.0:
+        grad_scales = jax.tree_util.tree_map(lambda _: 1.0, params)
+        for block in ("embedding", "encoder"):
+            grad_scales[block] = jax.tree_util.tree_map(
+                lambda _: opt.lr_scale, grad_scales[block]
+            )
     tx = arch1.make_optimizer(
         learning_rate=opt.learning_rate,
         decay_factor=opt.decay_factor,
         grad_clamp=opt.grad_clamp,
+        grad_scales=grad_scales,
     )
     opt_state = tx.init(params)
 
