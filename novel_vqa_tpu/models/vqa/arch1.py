@@ -195,6 +195,36 @@ def eval_step(cfg: Arch1Config, params, tokens, image, labels):
     return cross_entropy(scores, labels), scores
 
 
+def make_dp_indexed_step(cfg: Arch1Config, tx: optax.GradientTransformation, mesh):
+    """Data-parallel variant of :func:`train_step_indexed`: params/opt_state/
+    data replicated, the sampled index vector sharded over the mesh's
+    ``data`` axis — each chip gathers and processes its batch shard, and the
+    gradient mean all-reduces over ICI via GSPMD."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, data, qinds, rng):
+        tokens = jnp.take(data["tokens"], qinds, axis=0)
+        labels = jnp.take(data["answers"], qinds, axis=0)
+        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
+        image = jnp.take(data["image"], iminds, axis=0)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, tokens, image, labels, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, shard, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 5, 6), donate_argnums=(2, 3))
 def train_steps_scan(
     cfg: Arch1Config,

@@ -72,6 +72,11 @@ class TrainConfig:
     # on-device batch sampling (arch1.train_steps_scan) — the steady-state
     # production path; 1 keeps host-side sampling (exact data.rng stream)
     steps_per_dispatch: int = 1
+    # 1 = data-parallel step over all attached chips (batch sharded, grads
+    # psum over ICI); requires batch_size % n_devices == 0
+    data_parallel: int = 0
+    profile_dir: str = ""  # jax.profiler trace output dir ('' = off)
+    debug_nans: int = 0  # enable jax_debug_nans for fault localization
 
 
 def build_params(opt: TrainConfig, cfg: arch1.Arch1Config):
@@ -192,8 +197,36 @@ def main(argv=None):
             meta={"cfg": cfg._asdict(), "opt": dataclasses.asdict(opt)},
         )
 
+    dp_step = None
+    if opt.data_parallel:
+        assert opt.steps_per_dispatch <= 1, (
+            "--data_parallel composes with the per-step path; "
+            "use steps_per_dispatch 1"
+        )
+        from novel_vqa_tpu.parallel import make_mesh, replicated
+
+        mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        assert opt.batch_size % n_dev == 0, (
+            f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
+        )
+        dp_step = arch1.make_dp_indexed_step(cfg, tx, mesh)
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        dev_data = jax.device_put(dev_data, repl)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        qind_sharding = NamedSharding(mesh, P("data"))
+
+    from novel_vqa_tpu.core.profiling import nan_guard, trace
+
     chunk = max(1, opt.steps_per_dispatch)
     it = 0
+    profile_cm = trace(opt.profile_dir or None)
+    guard_cm = nan_guard(bool(opt.debug_nans))
+    profile_cm.__enter__()
+    guard_cm.__enter__()
     while it < opt.max_iters:
         if (it + 1) % opt.save_checkpoint_every <= chunk - 1 or it == 0:
             loss_val = validate()
@@ -204,9 +237,15 @@ def main(argv=None):
             qinds = jnp.asarray(
                 data.rng.integers(0, n_train, opt.batch_size), jnp.int32
             )
-            params, opt_state, loss = arch1.train_step_indexed(
-                cfg, tx, params, opt_state, dev_data, qinds, step_rng
-            )
+            if dp_step is not None:
+                qinds = jax.device_put(qinds, qind_sharding)
+                params, opt_state, loss = dp_step(
+                    params, opt_state, dev_data, qinds, step_rng
+                )
+            else:
+                params, opt_state, loss = arch1.train_step_indexed(
+                    cfg, tx, params, opt_state, dev_data, qinds, step_rng
+                )
             pending_losses.append(loss)
             it += 1
         else:
@@ -227,6 +266,8 @@ def main(argv=None):
             pending_losses.clear()
             logger.log_train(it, opt.max_iters, ema.value)
 
+    guard_cm.__exit__(None, None, None)
+    profile_cm.__exit__(None, None, None)
     save_ckpt("lstm")
     logger.close()
     print("done; final checkpoint at", os.path.join(opt.checkpoint_path, "lstm.h5"))
