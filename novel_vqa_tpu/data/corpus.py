@@ -17,7 +17,7 @@ to 1 (element 0) *after* filling the tail from the beginning, so the first
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import h5py
 import numpy as np

@@ -37,7 +37,6 @@ jitted step, replacing the reference's per-timestep weight-shared clone tables
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -50,7 +49,6 @@ from novel_vqa_tpu.ops import (
     lstm_stack_step,
     sequence_nll,
 )
-from novel_vqa_tpu.ops.lstm import lstm_layer_init
 
 
 class AEConfig(NamedTuple):

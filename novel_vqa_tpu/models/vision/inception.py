@@ -13,7 +13,7 @@ order (001_prepro_img_inc.lua:40-57) — see ``data/images.py``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from novel_vqa_tpu.models.vision.layers import (
     avg_pool,
     bn_init,
     batch_norm,
-    conv2d,
     conv_init,
     linear,
     linear_init,

@@ -8,7 +8,7 @@ bias + ReLU into the conv epilogue.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ and flat-vector scatter/gather (:272-335) collapses into a single XLA program.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,11 +16,9 @@ Works identically on a real v5e slice and on the virtual
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

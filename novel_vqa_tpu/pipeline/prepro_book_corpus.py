@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 from random import seed, shuffle
 from typing import Dict, List
 

@@ -22,7 +22,7 @@ from typing import Any, Dict, List
 import numpy as np
 
 from novel_vqa_tpu.core import t7
-from novel_vqa_tpu.core.checkpoint import load_flat_h5, save_flat_h5, save_npz
+from novel_vqa_tpu.core.checkpoint import load_flat_h5, save_flat_h5
 
 
 def collect_parameterized(obj: Any, out: List[Dict[str, np.ndarray]]):

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from novel_vqa_tpu.core.checkpoint import ae_transfer_to_h5, save_npz
+from novel_vqa_tpu.core.checkpoint import save_npz
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.corpus import CorpusLoader
 from novel_vqa_tpu.models.seq import autoencoder as ae
