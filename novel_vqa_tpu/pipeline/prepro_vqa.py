@@ -101,6 +101,12 @@ def get_top_answers(imgs, params):
         cw = sorted([(count, w) for w, count in counts.items()], reverse=True)
         print("top answer and their counts:")
         print("\n".join(map(str, cw[:20])))
+        if len(cw) < params["num_ans"]:
+            raise ValueError(
+                f"--num_ans {params['num_ans']} but only {len(cw)} distinct "
+                "answers in the training data (the reference crashes with an "
+                "opaque IndexError here)"
+            )
         return [cw[i][1] for i in range(params["num_ans"])]
     with open(params["extern_ans_vocab"]) as f:
         return json.load(f)
