@@ -142,3 +142,16 @@ def inception_device_prepro(u8_rgb, missing):
 
     x = u8_rgb.astype(jnp.float32)
     return (x - 128.0) * 0.0078125
+
+
+def torchvision_device_prepro(u8_rgb, missing):
+    """(N, H, W, 3) uint8 RGB -> torchvision ImageNet normalization:
+    x/255 minus mean (0.485, 0.456, 0.406) over std (0.229, 0.224, 0.225).
+    Use with weights imported via train/import_pth.py — NOT reference-parity
+    prepro (the reference's VGG pipeline is BGR 0-255 mean-sub)."""
+    import jax.numpy as jnp
+
+    x = u8_rgb.astype(jnp.float32) / 255.0
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    return (x - mean) / std

@@ -141,9 +141,6 @@ class VQAData:
         encoded by trimming question_id to the real rows.
         """
         n = self.num_examples(split)
-        has_labels = f"answers_{split}" in self.d or (
-            split == "train" and "answers_train" in self.d
-        )
         for start in range(0, n, batch_size):
             stop = min(n, start + batch_size)
             idx = np.arange(start, stop)
@@ -151,7 +148,6 @@ class VQAData:
             if pad_to_batch and real < batch_size:
                 idx = np.concatenate([idx, np.zeros(batch_size - real, np.int64)])
             iminds = self.d[f"img_pos_{split}"][idx].astype(np.int64) - 1
-            labels_key = "answers" if split == "train" else f"answers_{split}"
             labels_key = {
                 "train": "answers_train",
                 "val": "answers_val",

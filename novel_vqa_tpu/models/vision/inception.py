@@ -193,6 +193,21 @@ def init_params(rng: jax.Array, cfg: InceptionConfig) -> Dict[str, Any]:
     return p
 
 
+def iter_conv_bn(params: Dict[str, Any]):
+    """Yield every {conv, bn} unit in definition order (the dict insertion
+    order fixed by init_params) — the hook weight importers use to map an
+    ordered external conv list onto this tree."""
+    def walk(p):
+        if isinstance(p, dict):
+            if set(p) == {"conv", "bn"}:
+                yield p
+            else:
+                for v in p.values():
+                    yield from walk(v)
+
+    yield from walk(params)
+
+
 def apply(
     params: Dict[str, Any],
     cfg: InceptionConfig,

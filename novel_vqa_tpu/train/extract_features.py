@@ -45,9 +45,16 @@ class ExtractConfig:
     decode_workers: int = 8
     seed: int = 123
     limit: int = -1  # cap images per split (for smoke tests)
+    # "reference" = the pipeline matching caffe/t7 weights (VGG: BGR 0-255
+    # mean-sub; Inception: (x-128)/128); "torchvision" = ImageNet
+    # normalization for weights imported via import_pth.py
+    prepro: str = "reference"
 
 
-def build_model(name: str, weights: str, tap: str, seed: int, batch_size: int = 0):
+def build_model(
+    name: str, weights: str, tap: str, seed: int, batch_size: int = 0,
+    prepro_mode: str = "reference",
+):
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +76,11 @@ def build_model(name: str, weights: str, tap: str, seed: int, batch_size: int = 
         apply_fn = functools.partial(net.apply, cfg=cfg, tap="pool")
     else:
         raise ValueError(name)
+
+    if prepro_mode == "torchvision":
+        prepro = I.torchvision_device_prepro
+    elif prepro_mode != "reference":
+        raise ValueError(f"unknown --prepro {prepro_mode}")
 
     if weights:
         from novel_vqa_tpu.core.checkpoint import load_npz, unflatten_like
@@ -115,9 +127,9 @@ def main(argv=None):
     with open(opt.input_json) as f:
         meta = json.load(f)
 
-    models = [build_model(opt.model, opt.weights, opt.tap, opt.seed, opt.batch_size)]
+    models = [build_model(opt.model, opt.weights, opt.tap, opt.seed, opt.batch_size, opt.prepro)]
     if opt.model2:
-        models.append(build_model(opt.model2, opt.weights2, opt.tap, opt.seed, opt.batch_size))
+        models.append(build_model(opt.model2, opt.weights2, opt.tap, opt.seed, opt.batch_size, opt.prepro))
 
     with h5py.File(opt.out_name, "w") as out:
         for split in ("train", "test", "val"):

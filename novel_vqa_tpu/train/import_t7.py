@@ -74,6 +74,52 @@ def vision_t7_to_npz(net: Any, out_path: str, bgr_to_rgb: bool, arch: str):
     )
 
 
+def inception_t7_to_npz(net: Any, out_path: str):
+    """Map an ordered Inception-v3 t7 graph onto our inception tree: the
+    94 conv+BN units pair positionally with ``inception.iter_conv_bn``'s
+    definition order (standard v3 topology; graphs with the aux head must be
+    stripped first — positional pairing cannot place the 2 aux convs)."""
+    import jax
+
+    from novel_vqa_tpu.core.checkpoint import save_npz
+    from novel_vqa_tpu.models.vision import inception as inc
+
+    mods: List[Dict[str, np.ndarray]] = []
+    collect_parameterized(net, mods)
+    convs = [m for m in mods if m["weight"].ndim == 4]
+    bns = [
+        m
+        for m in mods
+        if m["weight"].ndim == 1 and m.get("running_mean") is not None
+    ]
+    if len(convs) != 94 or len(bns) != 94:
+        raise ValueError(
+            f"expected 94 conv+BN units for Inception-v3, got {len(convs)} "
+            f"convs / {len(bns)} BNs (strip the aux head before importing)"
+        )
+    tree = jax.device_get(
+        inc.init_params(jax.random.PRNGKey(0), inc.InceptionConfig())
+    )
+    for unit, cm, bm in zip(inc.iter_conv_bn(tree), convs, bns):
+        unit["conv"]["w"] = np.ascontiguousarray(
+            np.transpose(cm["weight"], (2, 3, 1, 0))
+        ).astype(np.float32)
+        unit["bn"] = {
+            "scale": np.asarray(bm["weight"], np.float32),
+            "offset": np.asarray(bm["bias"], np.float32),
+            "mean": np.asarray(bm["running_mean"], np.float32),
+            "var": np.asarray(bm["running_var"], np.float32),
+        }
+    linears = [m for m in mods if m["weight"].ndim == 2]
+    if linears:
+        tree["fc"] = {
+            "w": np.ascontiguousarray(linears[-1]["weight"].T).astype(np.float32),
+            "b": np.asarray(linears[-1]["bias"], np.float32),
+        }
+    save_npz(out_path, tree)
+    print(f"wrote {out_path}: 94 conv+BN units + {len(linears)} linears")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -129,7 +175,10 @@ def main(argv=None):
         print("wrote", args.out)
     else:
         net = t7.load(args.t7)
-        vision_t7_to_npz(net, args.out, bool(args.bgr_to_rgb), args.arch)
+        if args.arch == "inception":
+            inception_t7_to_npz(net, args.out)
+        else:
+            vision_t7_to_npz(net, args.out, bool(args.bgr_to_rgb), args.arch)
 
 
 if __name__ == "__main__":
