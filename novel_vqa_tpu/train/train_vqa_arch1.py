@@ -219,14 +219,15 @@ def main(argv=None):
 
         qind_sharding = NamedSharding(mesh, P("data"))
 
+    import contextlib
+
     from novel_vqa_tpu.core.profiling import nan_guard, trace
 
     chunk = max(1, opt.steps_per_dispatch)
     it = 0
-    profile_cm = trace(opt.profile_dir or None)
-    guard_cm = nan_guard(bool(opt.debug_nans))
-    profile_cm.__enter__()
-    guard_cm.__enter__()
+    stack = contextlib.ExitStack()
+    stack.enter_context(trace(opt.profile_dir or None))
+    stack.enter_context(nan_guard(bool(opt.debug_nans)))
     while it < opt.max_iters:
         if (it + 1) % opt.save_checkpoint_every <= chunk - 1 or it == 0:
             loss_val = validate()
@@ -266,8 +267,7 @@ def main(argv=None):
             pending_losses.clear()
             logger.log_train(it, opt.max_iters, ema.value)
 
-    guard_cm.__exit__(None, None, None)
-    profile_cm.__exit__(None, None, None)
+    stack.close()
     save_ckpt("lstm")
     logger.close()
     print("done; final checkpoint at", os.path.join(opt.checkpoint_path, "lstm.h5"))
