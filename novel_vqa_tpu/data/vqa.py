@@ -94,6 +94,12 @@ class VQAData:
             if img_norm:
                 fv = d[f"fv_im_{split}"]
                 if img_norm_split_dims:
+                    if sum(img_norm_split_dims) != fv.shape[1]:
+                        raise ValueError(
+                            f"img_norm_split dims {img_norm_split_dims} sum to "
+                            f"{sum(img_norm_split_dims)} but the feature width "
+                            f"is {fv.shape[1]}"
+                        )
                     # early-fusion features are L2-normalized per part
                     # (003_train_ae_based_ef.lua:116-124)
                     off = 0

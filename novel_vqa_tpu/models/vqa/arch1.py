@@ -57,6 +57,7 @@ class Arch1Config(NamedTuple):
     num_output: int = 1000  # -num_output (:38)
     dropout: float = 0.5
     fusion: str = "axb"  # "axb" | "askipb" (wp variant)
+    remat: bool = False  # jax.checkpoint the LSTM step (FLOPs for HBM)
 
 
 def init_params(rng: jax.Array, cfg: Arch1Config) -> Dict[str, Any]:
@@ -117,6 +118,7 @@ def apply(
         dropout_rate=cfg.dropout,
         rng=k_enc,
         deterministic=deterministic,
+        remat=cfg.remat,
     )
     tv_q = pack_state(c, h)  # (N, 2*rnn*layers)
 

@@ -158,6 +158,7 @@ def lstm_encode(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     return_sequence: bool = False,
+    remat: bool = False,
 ) -> Any:
     """Masked dense scan over time.
 
@@ -165,6 +166,12 @@ def lstm_encode(
     their previous (initially zero) state on inactive steps, which reproduces
     the reference's right-aligned ragged batching
     (misc/RNNUtils.lua:84-125,128-154) without any sorting or dynamic shapes.
+
+    ``remat=True`` wraps the step in ``jax.checkpoint`` so the backward pass
+    recomputes per-step activations instead of keeping all T of them in HBM
+    — the standard FLOPs-for-memory trade for long sequences / big batches
+    (irrelevant at the reference's 16-token lengths, available for scaled
+    configs).
 
     Returns the final (c, h) state, or (final_state, (cs, hs)) per-step states
     when ``return_sequence``.
@@ -199,6 +206,8 @@ def lstm_encode(
             return (c, h), (c, h)
         return (c, h), None
 
+    if remat:
+        body = jax.checkpoint(body)
     final_state, seq_states = jax.lax.scan(body, init_state, (xs, mask, step_rngs))
     if return_sequence:
         return final_state, seq_states

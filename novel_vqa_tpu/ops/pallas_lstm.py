@@ -163,3 +163,166 @@ def lstm_step_auto(params, x, c, h):
     if jax.default_backend() == "tpu":
         return pallas_lstm_step(params, x, c, h)
     return xla_lstm_step(params, x, c, h)
+
+
+# ---------------------------------------------------------------------------
+# full-sequence kernel: weights stay VMEM-resident across ALL timesteps
+# ---------------------------------------------------------------------------
+
+
+def _seq_kernel(xs_ref, mask_ref, wx_ref, wh_ref, b_ref, c_out_ref, h_out_ref, hs_out_ref):
+    """One batch tile, all T steps.  The per-step XLA scan re-fetches Wx/Wh
+    from HBM every iteration (10.4 MB/step at reference sizes); here they load
+    once and the T-step recurrence runs entirely on-chip."""
+    T = xs_ref.shape[0]
+    H = c_out_ref.shape[-1]
+
+    def step(t, carry):
+        c, h = carry
+        x_t = xs_ref[t]
+        gates = (
+            jnp.dot(x_t, wx_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:]
+        )
+        i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+        f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+        o = jax.nn.sigmoid(gates[:, 2 * H : 3 * H])
+        g = jnp.tanh(gates[:, 3 * H : 4 * H])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = mask_ref[t]  # (tile_n, 1), broadcasts over H
+        c = jnp.where(m > 0, c_new, c)
+        h = jnp.where(m > 0, h_new, h)
+        hs_out_ref[t] = h
+        return c, h
+
+    c0 = jnp.zeros(c_out_ref.shape, jnp.float32)
+    c, h = jax.lax.fori_loop(0, T, step, (c0, c0))
+    c_out_ref[:] = c
+    h_out_ref[:] = h
+
+
+def _pallas_seq_forward(xs, mask, wx, wh, b, *, tile_n: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, N, In = xs.shape
+    H = wh.shape[0]
+    pad_n = _round_up(max(N, 8), tile_n)
+    if pad_n != N:
+        xs = jnp.pad(xs, ((0, 0), (0, pad_n - N), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_n - N)))
+    mask3 = mask[:, :, None]  # lane-compatible (T, N, 1) block layout
+
+    grid = (pad_n // tile_n,)
+    c, h, hs = pl.pallas_call(
+        _seq_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T, tile_n, In), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, tile_n, 1), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wx.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wh.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, tile_n, H), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((pad_n, H), jnp.float32),
+            jax.ShapeDtypeStruct((pad_n, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, pad_n, H), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xs, mask3, wx, wh, b.reshape(1, -1))
+    return c[:N], h[:N], hs[:, :N]
+
+
+def _xla_seq_reference(xs, mask, wx, wh, b):
+    """The mathematically identical XLA scan (used for the backward pass)."""
+    T, N, _ = xs.shape
+    H = wh.shape[0]
+
+    def body(carry, inp):
+        c, h = carry
+        x_t, m_t = inp
+        gates = x_t @ wx + h @ wh + b
+        i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+        f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+        o = jax.nn.sigmoid(gates[:, 2 * H : 3 * H])
+        g = jnp.tanh(gates[:, 3 * H : 4 * H])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m_t[:, None]
+        c = jnp.where(m > 0, c_new, c)
+        h = jnp.where(m > 0, h_new, h)
+        return (c, h), h
+
+    zeros = jnp.zeros((N, H), xs.dtype)
+    (c, h), hs = jax.lax.scan(body, (zeros, zeros), (xs, mask))
+    return c, h, hs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_lstm_seq(xs, mask, wx, wh, b, tile_n, interpret):
+    return _pallas_seq_forward(xs, mask, wx, wh, b, tile_n=tile_n, interpret=interpret)
+
+
+def _seq_fwd(xs, mask, wx, wh, b, tile_n, interpret):
+    out = _pallas_seq_forward(xs, mask, wx, wh, b, tile_n=tile_n, interpret=interpret)
+    return out, (xs, mask, wx, wh, b)
+
+
+def _seq_bwd(tile_n, interpret, res, grads):
+    xs, mask, wx, wh, b = res
+    # recompute-and-differentiate through the identical XLA scan — the
+    # backward is bandwidth-bound and XLA schedules it well; forward keeps
+    # the fused on-chip path
+    _, vjp = jax.vjp(lambda xs, wx, wh, b: _xla_seq_reference(xs, mask, wx, wh, b), xs, wx, wh, b)
+    dxs, dwx, dwh, db = vjp(grads)
+    return dxs, None, dwx, dwh, db
+
+
+_fused_lstm_seq.defvjp(_seq_fwd, _seq_bwd)
+
+
+def pallas_lstm_seq(
+    params: Dict[str, jax.Array],
+    xs: jax.Array,  # (T, N, In) time-major inputs
+    mask: jax.Array,  # (T, N)
+    *,
+    tile_n: int = 32,
+    interpret: bool = False,
+):
+    """Full-sequence fused LSTM layer: returns (c, h, hs) with hs the
+    per-step hidden states (the next layer's inputs).  VMEM budget at
+    reference sizes (T=16, tile 128, In<=512, H=512): x block <=4.2 MB +
+    weights 5.7 MB + hs block 4.2 MB + states — fits the ~16 MB budget; for
+    longer sequences lower ``tile_n``."""
+    b = params["bx"] + params["bh"]
+    return _fused_lstm_seq(xs, mask, params["wx"], params["wh"], b, tile_n, interpret)
+
+
+def pallas_lstm_encode(
+    layers,
+    xs: jax.Array,
+    mask: jax.Array,
+    *,
+    tile_n: int = 32,
+    interpret: bool = False,
+):
+    """Multi-layer masked encode via stacked full-sequence kernels — the
+    drop-in equivalent of ops.lstm.lstm_encode (deterministic mode: the
+    training path's inter-layer dropout needs the per-step scan).  Layer k+1
+    consumes layer k's per-step hidden states."""
+    cs, hs_final = [], []
+    inp = xs
+    for layer in layers:
+        c, h, hs = pallas_lstm_seq(layer, inp, mask, tile_n=tile_n, interpret=interpret)
+        cs.append(c)
+        hs_final.append(h)
+        inp = hs
+    return jnp.stack(cs), jnp.stack(hs_final)

@@ -58,6 +58,9 @@ class TrainConfig:
     common_embedding_size: int = 1024
     num_output: int = 1000
     img_norm: int = 1
+    # per-part L2 normalization dims for early-fusion features, e.g.
+    # "2048,4096" (003_train_ae_based_ef.lua:116-124)
+    img_norm_split: str = ""
     save_checkpoint_every: int = 150000
     checkpoint_path: str = "model/"
     seed: int = 123
@@ -122,12 +125,16 @@ def main(argv=None):
     opt = parse_config(TrainConfig, argv, description=__doc__)
     os.makedirs(os.path.join(opt.checkpoint_path, "save"), exist_ok=True)
 
+    split_dims = (
+        [int(x) for x in opt.img_norm_split.split(",")] if opt.img_norm_split else None
+    )
     data = VQAData(
         opt.input_ques_h5,
         opt.input_img_h5,
         opt.input_json,
         img_norm=bool(opt.img_norm),
         seed=opt.seed,
+        img_norm_split_dims=split_dims,
     )
     cfg = arch1.Arch1Config(
         vocab_size=data.vocab_size,

@@ -51,3 +51,48 @@ def test_custom_vjp_matches_autodiff():
     g_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(params, x, c, h)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pl)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_seq_kernel_matches_lstm_encode():
+    from novel_vqa_tpu.ops import lstm_encode
+    from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    layers = [lstm_layer_init(k1, 8, 16), lstm_layer_init(k2, 16, 16)]
+    rs = np.random.RandomState(3)
+    T, N = 6, 10
+    xs = jnp.asarray(rs.randn(T, N, 8).astype(np.float32))
+    mask_np = np.zeros((T, N), np.float32)
+    for i in range(N):
+        L = rs.randint(1, T + 1)
+        mask_np[T - L :, i] = 1.0  # right-aligned activity
+        xs = xs.at[: T - L, i].set(0.0)
+    mask = jnp.asarray(mask_np)
+
+    c_ref, h_ref = lstm_encode(layers, xs, mask)
+    c_pl, h_pl = pallas_lstm_encode(layers, xs, mask, tile_n=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_seq_kernel_gradients():
+    from novel_vqa_tpu.ops import lstm_encode
+    from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
+
+    layers = [lstm_layer_init(jax.random.PRNGKey(4), 6, 8)]
+    rs = np.random.RandomState(4)
+    xs = jnp.asarray(rs.randn(4, 8, 6).astype(np.float32))
+    mask = jnp.ones((4, 8))
+
+    def loss_ref(p, xs):
+        c, h = lstm_encode(p, xs, mask)
+        return jnp.sum(h * h) + jnp.sum(jnp.sin(c))
+
+    def loss_pl(p, xs):
+        c, h = pallas_lstm_encode(p, xs, mask, tile_n=8, interpret=True)
+        return jnp.sum(h * h) + jnp.sum(jnp.sin(c))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(layers, xs)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(layers, xs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
