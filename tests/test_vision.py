@@ -142,3 +142,45 @@ def test_extract_cli_end_to_end(tmp_path):
         np.testing.assert_allclose(
             f["images_train"][0], f["images_test"][0], rtol=1e-5
         )
+
+
+def test_extract_early_fusion_concat(tmp_path):
+    """--model2 concatenates a second net's features (001_prepro_img_ef.lua)."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rs = np.random.RandomState(3)
+    names = []
+    for i in range(2):
+        name = f"im{i}.jpg"
+        Image.fromarray(rs.randint(0, 255, (50, 50, 3), dtype=np.uint8)).save(
+            str(img_dir / name)
+        )
+        names.append(name)
+    meta_path = str(tmp_path / "meta.json")
+    with open(meta_path, "w") as f:
+        json.dump({"unique_img_train": names}, f)
+
+    out_h5 = str(tmp_path / "ef.h5")
+    from novel_vqa_tpu.train import extract_features
+
+    extract_features.main(
+        [
+            "--input_json", meta_path,
+            "--image_root", str(img_dir) + "/",
+            "--model", "vgg16",
+            "--model2", "vgg16",
+            "--weights2", "",
+            "--batch_size", "2",
+            "--out_name", out_h5,
+        ]
+    )
+    import h5py
+
+    with h5py.File(out_h5) as f:
+        feats = f["images_train"][()]
+    assert feats.shape == (2, 8192)  # 4096 + 4096 concat
+    # same random seed -> both halves equal (the concat plumbing is what's
+    # under test; different nets/weights produce different halves)
+    np.testing.assert_allclose(feats[:, :4096], feats[:, 4096:], rtol=1e-5)
