@@ -350,7 +350,23 @@ def main(argv=None):
         if opt.losses_log_every > 0 and it % opt.losses_log_every == 0:
             f = float(loss)
             loss_history[it] = f
-            print(f"iter {it}: loss {f:.4f} (skip={skip} finetune={finetune})")
+            # update-magnitude diagnostics (004_train_arch1_...vgg.lua:372-376:
+            # param norms and the count of params whose step exceeds 1% of
+            # their magnitude)
+            pn = float(
+                jnp.sqrt(
+                    sum(jnp.sum(p * p) for p in jax.tree_util.tree_leaves(ae_params))
+                )
+            )
+            cn = float(
+                jnp.sqrt(
+                    sum(jnp.sum(p * p) for p in jax.tree_util.tree_leaves(cnn_params))
+                )
+            )
+            print(
+                f"iter {it}: loss {f:.4f} | paramsNorm: {pn:.4f} | "
+                f"cnnParamsNorm: {cn:.4f} (skip={skip} finetune={finetune})"
+            )
             if loss0 is None:
                 loss0 = f
             if f > loss0 * 20:
