@@ -123,3 +123,53 @@ def test_wp_trainer_runs(wp_files, variant):
         assert "lookup" in f and "encoder" in f
         if variant == "vqa_arch":
             assert "multimodal" in f
+
+
+@pytest.mark.slow
+def test_wp_trainer_inception(tmp_path):
+    """arch2-null weak-paired with the Inception trunk (2048-d pool,
+    004_train_arch2_weakpaired_autoencoder_inc.lua)."""
+    import h5py as _h5py
+
+    from novel_vqa_tpu.train import train_weakpaired_ae
+
+    rs = np.random.RandomState(0)
+    V_, L_, n_train, n_val, side = 15, 4, 12, 6, 112
+
+    def split(n):
+        lengths = rs.randint(1, L_ + 1, size=n)
+        labels = np.zeros((n, L_), np.uint32)
+        for i, ln in enumerate(lengths):
+            labels[i, :ln] = rs.randint(1, V_ + 1, size=ln)
+        imgs = rs.randint(0, 255, size=(n, 3, side, side), dtype=np.uint8)
+        return labels, imgs
+
+    with _h5py.File(tmp_path / "data.h5", "w") as f:
+        for name, n in (("train", n_train), ("val", n_val), ("test", n_val)):
+            lab, im = split(n)
+            f.create_dataset(f"labels/{name}", dtype="uint32", data=lab)
+            f.create_dataset(f"images/{name}", dtype="uint8", data=im)
+    import json as _json
+
+    (tmp_path / "data.json").write_text(
+        _json.dumps(
+            {"ix_to_word": {str(i): f"w{i}" for i in range(1, V_ + 1)},
+             "num_train": n_train, "num_val": n_val, "num_test": n_val}
+        )
+    )
+    ckpt = str(tmp_path / "wp_inc")
+    os.makedirs(ckpt, exist_ok=True)
+    train_weakpaired_ae.main(
+        [
+            "--input_h5", str(tmp_path / "data.h5"),
+            "--input_json", str(tmp_path / "data.json"),
+            "--variant", "null", "--cnn_arch", "inception",
+            "--rnn_size", "10", "--input_encoding_size", "12",
+            "--batch_size", "4", "--max_iters", "2",
+            "--save_checkpoint_every", "1", "--val_sentences_use", "4",
+            "--losses_log_every", "1",
+            "--image_size", str(side), "--crop_size", "96",
+            "--nhimage", "2048", "--checkpoint_path", ckpt,
+        ]
+    )
+    assert os.path.exists(os.path.join(ckpt, "model_id.npz"))
