@@ -1,0 +1,112 @@
+"""Bit-exactness fuzz: our evaluator's normalization vs the reference's own
+source code.
+
+Python 2 is unavailable, but ``processPunctuation`` and
+``processDigitArticle`` (vqaEval.py:131-156) are syntactically valid
+Python 3; this test extracts those two methods VERBATIM from the read-only
+reference source, executes them against the same extracted tables, and
+fuzz-compares outputs with our port on thousands of adversarial strings
+(punctuation clusters, digit commas, periods, typographic apostrophes,
+contraction keys).  Any divergence is a parity bug by definition.
+"""
+
+import json
+import os
+import random
+import re
+
+import pytest
+
+REF_EVAL = "/root/reference/004_vqa_evaluation/PythonEvaluationTools/vqaEvaluation/vqaEval.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_EVAL), reason="reference mirror not mounted"
+)
+
+
+def build_reference_normalizer():
+    src = open(REF_EVAL, "rb").read().decode("utf-8")
+
+    # the two methods, verbatim (tab-indented class body)
+    start = src.index("\tdef processPunctuation")
+    end = src.index("\tdef setAccuracy")
+    methods_src = src[start:end]
+    # dedent one tab level so the defs are module-level
+    methods_src = "\n".join(
+        line[1:] if line.startswith("\t") else line
+        for line in methods_src.splitlines()
+    )
+
+    ns = {"re": re}
+    exec(methods_src, ns)  # noqa: S102 - executing the read-only reference source
+
+    tables_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "novel_vqa_tpu", "eval", "normalization_tables.json",
+    )
+    with open(tables_path) as f:
+        tables = json.load(f)
+
+    class RefNorm:
+        contractions = tables["contractions"]
+        manualMap = dict(tables["manualMap"])
+        articles = tables["articles"]
+        punct = tables["punct"]
+        periodStrip = re.compile("(?!<=\\d)(\\.)(?!\\d)")
+        commaStrip = re.compile("(\\d)(\\,)(\\d)")
+        processPunctuation = ns["processPunctuation"]
+        processDigitArticle = ns["processDigitArticle"]
+
+    return RefNorm()
+
+
+def fuzz_strings(n=4000, seed=0):
+    rng = random.Random(seed)
+    words = [
+        "cat", "dogs", "one", "two", "ten", "a", "an", "the", "couldnt",
+        "doesnt", "whats", "yall", "none", "u.s.a", "1.50", "1,000", "red",
+        "no", "yes", "skate board", "dont",
+    ]
+    puncts = [";", "/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\",
+              "_", "-", ">", "<", "@", "`", ",", "?", "!", ".", "’", "'"]
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            r = rng.random()
+            if r < 0.5:
+                parts.append(rng.choice(words))
+            elif r < 0.8:
+                parts.append(rng.choice(puncts))
+            else:
+                parts.append(str(rng.randint(0, 9999)))
+        sep = rng.choice(["", " ", "  "])
+        out.append(sep.join(parts))
+    # targeted cases
+    out += [
+        "1,000,000.", "a.b.c", ";;;", "st. mary's", "it's 1.5%", "’twas",
+        "couldn’t’ve happened", "one, two and three", "10.", ".5", "a; b",
+        "", " ", "no-one", "semi-truck", "3.", "weve got it",
+        # the re.UNICODE-as-count quirk caps period removal at 32
+        "." * 50, "a." * 40, "x. " * 35,
+    ]
+    return out
+
+
+def test_normalization_bitexact_fuzz():
+    from novel_vqa_tpu.eval.vqa_eval import VQAEval
+
+    ref = build_reference_normalizer()
+    ours = VQAEval()
+    mismatches = []
+    for s in fuzz_strings():
+        r1 = ref.processPunctuation(s)
+        o1 = ours.processPunctuation(s)
+        if r1 != o1:
+            mismatches.append(("punct", s, r1, o1))
+            continue
+        r2 = ref.processDigitArticle(r1)
+        o2 = ours.processDigitArticle(o1)
+        if r2 != o2:
+            mismatches.append(("digit", s, r2, o2))
+    assert not mismatches, mismatches[:10]
