@@ -110,3 +110,29 @@ def test_normalization_bitexact_fuzz():
         if r2 != o2:
             mismatches.append(("digit", s, r2, o2))
     assert not mismatches, mismatches[:10]
+
+
+REF_STATS = "/root/reference/000_create_dataset/001_create_novel_statistics.py"
+
+
+def test_question_type_bitexact_fuzz():
+    """get_question_type vs the reference's getQuestionType executed verbatim
+    (001_create_novel_statistics.py:47-63 — py3-valid syntax)."""
+    src = open(REF_STATS, "rb").read().decode("utf-8")
+    start = src.index("def getQuestionType")
+    end = src.index("# Prints the statistics")
+    ns = {}
+    exec(src[start:end], ns)  # noqa: S102 - read-only reference source
+    ref_fn = ns["getQuestionType"]
+
+    from novel_vqa_tpu.pipeline.novel_split import get_question_type, load_question_types
+
+    q_types = load_question_types(
+        "/root/reference/004_vqa_evaluation/QuestionTypes/mscoco_question_types.txt"
+    )
+    rng = random.Random(1)
+    vocab = ["what", "is", "the", "color", "of", "a", "this", "how", "many",
+             "are", "there", "does", "do", "you", "can", "cat", "red", "why"]
+    for _ in range(2000):
+        q = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
+        assert get_question_type(q, q_types) == ref_fn(q, q_types), q
