@@ -30,6 +30,8 @@ class EvalConfig:
     num_layers: int = 1
     num_output: int = 1000
     img_norm: int = 1
+    # per-part L2 dims for early-fusion features (004_eval_model_ef analog)
+    img_norm_split: str = ""
     nhimage: int = 4096
     drop_prob_ae: float = 0.5
     out_path: str = "result/"
@@ -49,6 +51,11 @@ def main(argv=None):
         img_norm=bool(opt.img_norm),
         load_test=True,
         align="left",
+        img_norm_split_dims=(
+            [int(x) for x in opt.img_norm_split.split(",")]
+            if opt.img_norm_split
+            else None
+        ),
     )
     cfg = arch2.Arch2Config(
         vocab_size=data.vocab_size,

@@ -53,6 +53,8 @@ class TrainConfig:
     num_layers: int = 1
     num_output: int = 1000
     img_norm: int = 1
+    # per-part L2 dims for early-fusion features (004_eval_model_ef analog)
+    img_norm_split: str = ""
     nhimage: int = 4096
     save_checkpoint_every: int = 25000
     checkpoint_path: str = "models_vqa/"
@@ -101,6 +103,11 @@ def main(argv=None):
         img_norm=bool(opt.img_norm),
         seed=opt.seed,
         align="left",
+        img_norm_split_dims=(
+            [int(x) for x in opt.img_norm_split.split(",")]
+            if opt.img_norm_split
+            else None
+        ),
     )
     cfg = arch2.Arch2Config(
         vocab_size=data.vocab_size,
