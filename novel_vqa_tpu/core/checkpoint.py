@@ -45,6 +45,10 @@ def _flatten_tree(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     if isinstance(tree, dict):
         for k in sorted(tree):
             out.update(_flatten_tree(tree[k], f"{prefix}{k}/"))
+    elif isinstance(tree, tuple) and hasattr(tree, "_fields"):
+        # NamedTuple (e.g. optax states): key by field name
+        for name, v in zip(tree._fields, tree):
+            out.update(_flatten_tree(v, f"{prefix}{name}/"))
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(_flatten_tree(v, f"{prefix}{i}/"))
@@ -77,6 +81,12 @@ def unflatten_like(template: Any, flat: Dict[str, np.ndarray], prefix: str = "")
             k: unflatten_like(template[k], flat, f"{prefix}{k}/")
             for k in template
         }
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        seq = [
+            unflatten_like(v, flat, f"{prefix}{name}/")
+            for name, v in zip(template._fields, template)
+        ]
+        return type(template)(*seq)
     if isinstance(template, (list, tuple)):
         seq = [
             unflatten_like(v, flat, f"{prefix}{i}/") for i, v in enumerate(template)

@@ -65,6 +65,13 @@ class TrainConfig:
     checkpoint_path: str = "model/"
     seed: int = 123
     init_from: str = ""  # converted-AE transfer h5 (003_train_ae_based.lua)
+    # warm restart from a flat h5 checkpoint (the reference's -start_from,
+    # e.g. 003_train_ae_based_wp_vgg.lua:198-204); params only
+    start_from: str = ""
+    # full-state resume (params + optimizer state + iteration) from a
+    # train_state .npz written by --save_train_state
+    resume: str = ""
+    save_train_state: int = 0  # also write train_state.npz at checkpoints
     fusion: str = "axb"  # axb | askipb (wp variant)
     grad_clamp: float = 10.0
     # gradient downweighting of the encoder+embedding blocks
@@ -84,6 +91,13 @@ class TrainConfig:
 
 def build_params(opt: TrainConfig, cfg: arch1.Arch1Config):
     params = arch1.init_params(jax.random.PRNGKey(opt.seed), cfg)
+    if opt.start_from:
+        from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
+
+        return {
+            k: jax.tree_util.tree_map(jnp.asarray, v)
+            for k, v in arch1_from_flat(load_flat_h5(opt.start_from), cfg).items()
+        }
     if opt.init_from:
         saved = ae_transfer_from_h5(
             opt.init_from, cfg.input_encoding_size, cfg.rnn_size, cfg.rnn_layer
@@ -161,6 +175,17 @@ def main(argv=None):
         grad_scales=grad_scales,
     )
     opt_state = tx.init(params)
+    start_iter = 0
+    if opt.resume:
+        from novel_vqa_tpu.core.checkpoint import load_npz, unflatten_like
+
+        flat, meta = load_npz(opt.resume)
+        state_tpl = {"params": jax.device_get(params), "opt_state": jax.device_get(opt_state)}
+        restored = unflatten_like(state_tpl, flat)
+        params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        opt_state = jax.tree_util.tree_map(jnp.asarray, restored["opt_state"])
+        start_iter = int(meta.get("iter", 0))
+        print(f"resumed from {opt.resume} at iteration {start_iter}")
 
     # ship the whole train split to HBM once
     dev_data = {
@@ -203,6 +228,12 @@ def main(argv=None):
             host_params,
             meta={"cfg": cfg._asdict(), "opt": dataclasses.asdict(opt)},
         )
+        if opt.save_train_state:
+            save_npz(
+                os.path.join(opt.checkpoint_path, "train_state.npz"),
+                {"params": host_params, "opt_state": jax.device_get(opt_state)},
+                meta={"cfg": cfg._asdict(), "iter": it},
+            )
 
     dp_step = None
     if opt.data_parallel:
@@ -231,7 +262,7 @@ def main(argv=None):
     from novel_vqa_tpu.core.profiling import nan_guard, trace
 
     chunk = max(1, opt.steps_per_dispatch)
-    it = 0
+    it = start_iter
     stack = contextlib.ExitStack()
     stack.enter_context(trace(opt.profile_dir or None))
     stack.enter_context(nan_guard(bool(opt.debug_nans)))
