@@ -280,3 +280,30 @@ def ae_transfer_from_h5(
         if "multimodal" in f:
             out["multimodal"] = f["multimodal"][()]
     return out
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (optional production checkpointing)
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str, tree: Any) -> None:
+    """Persist a pytree with orbax (atomic directory checkpoints, async-safe
+    restore across processes).  The npz format stays the default interchange;
+    orbax is the production option for large states and multi-host runs."""
+    import orbax.checkpoint as ocp
+
+    import os as _os
+
+    path = _os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_orbax(path: str, template: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    import os as _os
+
+    path = _os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)

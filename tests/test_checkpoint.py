@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from novel_vqa_tpu.core import checkpoint as ckpt
 from novel_vqa_tpu.models.vqa import arch1
@@ -81,3 +82,19 @@ def test_ae_transfer_roundtrip(tmp_path):
             back["encoder"][0][k], np.asarray(layers[0][k]), rtol=1e-6
         )
     np.testing.assert_array_equal(back["multimodal"], np.arange(5.0, dtype=np.float32))
+
+
+def test_orbax_roundtrip(tmp_path):
+    """Optional orbax backend (production checkpointing)."""
+    pytest.importorskip("orbax.checkpoint")
+    from novel_vqa_tpu.core.checkpoint import load_orbax, save_orbax
+
+    cfg = small_cfg()
+    params = jax.device_get(arch1.init_params(jax.random.PRNGKey(5), cfg))
+    path = str(tmp_path / "orbax_ckpt")
+    save_orbax(path, params)
+    back = load_orbax(path, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(back)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
