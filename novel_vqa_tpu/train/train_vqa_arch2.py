@@ -65,6 +65,9 @@ class TrainConfig:
     cnn_proj_init: str = ""  # npz with cnn_proj/{w,b} (wp CNN Linear)
     start_from: str = ""  # flat h5 resume
     log_every: int = 100
+    # >1 runs that many iterations per dispatch via lax.scan with on-device
+    # batch sampling (arch2.train_steps_scan)
+    steps_per_dispatch: int = 1
 
 
 def build_params(opt: TrainConfig, cfg: arch2.Arch2Config):
@@ -164,20 +167,35 @@ def main(argv=None):
             meta={"cfg": cfg._asdict(), "opt": dataclasses.asdict(opt)},
         )
 
-    for it in range(1, opt.max_iters + 1):
-        if it % opt.save_checkpoint_every == 0 or it == 1:
+    chunk = max(1, opt.steps_per_dispatch)
+    it = 0
+    while it < opt.max_iters:
+        if (it + 1) % opt.save_checkpoint_every <= chunk - 1 or it == 0:
             loss_val = validate()
-            logger.log_val(it, opt.max_iters, loss_val, ema_val.value)
-            save_ckpt(os.path.join("save", f"lstm_save_iter{it}"))
-        qinds = jnp.asarray(data.rng.integers(0, n_train, opt.batch_size), jnp.int32)
+            logger.log_val(it + 1, opt.max_iters, loss_val, ema_val.value)
+            save_ckpt(os.path.join("save", f"lstm_save_iter{it + 1}"))
         rng_pool, step_rng = jax.random.split(rng_pool)
-        params, opt_state, loss = arch2.train_step_indexed(
-            cfg, tx, params, opt_state, dev_data, qinds, step_rng
-        )
-        pending.append(loss)
-        if it % opt.log_every == 0:
-            for f in jax.device_get(pending):
-                ema.update(float(f))
+        if chunk == 1:
+            qinds = jnp.asarray(
+                data.rng.integers(0, n_train, opt.batch_size), jnp.int32
+            )
+            params, opt_state, loss = arch2.train_step_indexed(
+                cfg, tx, params, opt_state, dev_data, qinds, step_rng
+            )
+            pending.append(loss)
+            it += 1
+        else:
+            n_steps = min(chunk, opt.max_iters - it)
+            params, opt_state, losses = arch2.train_steps_scan(
+                cfg, tx, params, opt_state, dev_data, n_steps, opt.batch_size,
+                step_rng,
+            )
+            pending.append(losses)
+            it += n_steps
+        if it % opt.log_every < chunk:
+            for arr in jax.device_get(pending):
+                for f in np.atleast_1d(arr):
+                    ema.update(float(f))
             pending.clear()
             logger.log_train(it, opt.max_iters, ema.value)
 

@@ -215,3 +215,28 @@ def test_lf_ensemble(vqa_files, tmp_path):
     meta = json.load(open(d["meta"]))
     expect = meta["ix_to_ans"][str(int(fused[0].argmax() + 1))]
     assert oe[0]["answer"] == expect and oe[0]["question_id"] == int(qids[0])
+
+
+def test_arch2_cli_steps_per_dispatch(vqa_files, tmp_path):
+    from novel_vqa_tpu.train import train_vqa_arch2
+
+    d = vqa_files
+    ckpt_dir = str(tmp_path / "scan_model") + "/"
+    train_vqa_arch2.main(
+        [
+            "--input_img_h5", d["img_h5"],
+            "--input_ques_h5", d["ques_h5"],
+            "--input_json", d["meta"],
+            "--checkpoint_path", ckpt_dir,
+            "--batch_size", "25",
+            "--max_iters", "30",
+            "--save_checkpoint_every", "30",
+            "--steps_per_dispatch", "10",
+            "--nhimage", "8",
+            "--input_encoding_size", "12",
+            "--rnn_size", "16",
+            "--num_output", "5",
+            "--log_every", "10",
+        ]
+    )
+    assert os.path.exists(ckpt_dir + "lstm.h5")

@@ -136,3 +136,42 @@ def test_question_type_bitexact_fuzz():
     for _ in range(2000):
         q = [rng.choice(vocab) for _ in range(rng.randint(1, 8))]
         assert get_question_type(q, q_types) == ref_fn(q, q_types), q
+
+
+REF_LOOKUP = "/root/reference/005_correction_to_dataset/002_create_img_lookup.py"
+
+
+def test_img_lookup_bitexact():
+    """run_img_lookup vs the reference's loop logic (002_create_img_lookup.py
+    is fully py3-valid) on an overlap-heavy image list."""
+    src = open(REF_LOOKUP, "rb").read().decode("utf-8")
+    # strip the argparse/IO head and json dump tail; keep the loop body
+    start = src.index("lookup_dict = {}")
+    end = src.index("json.dump")
+    body = src[start:end]
+
+    original = {
+        "unique_img_train": ["a.jpg", "b.jpg", "c.jpg"],
+        "unique_img_val": ["b.jpg", "d.jpg"],
+        "unique_img_test": ["a.jpg", "e.jpg", "d.jpg"],
+    }
+
+    import json as _json
+    import tempfile
+
+    from novel_vqa_tpu.pipeline import correction
+
+    with tempfile.TemporaryDirectory() as d:
+        src_path = os.path.join(d, "orig.json")
+        out_path = os.path.join(d, "lookup.json")
+        with open(src_path, "w") as f:
+            _json.dump(original, f)
+
+        # the extracted body re-loads the json itself (params['original_json'])
+        ns = {"json": _json, "params": {"original_json": src_path}}
+        exec(body, ns)  # noqa: S102 - read-only reference source
+        ref_lookup = ns["lookup_dict"]
+
+        correction.cli(["img-lookup", "--original_json", src_path, "--save_path", out_path])
+        ours = _json.load(open(out_path))
+    assert ours == ref_lookup
