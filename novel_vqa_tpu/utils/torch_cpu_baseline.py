@@ -121,12 +121,62 @@ def measure(batch_size=500, iters=3, vocab=12782, seq=16, warmup=1, seed=0):
     return batch_size * iters / dt
 
 
+def build_torch_vgg(arch="vgg16", num_classes=1000, seed=0):
+    """VGG in plain torch.nn (torchvision is not installed here) with the
+    same topology as models/vision/vgg.py: 3x3 convs, 2x2 maxpools, fc6/7/8.
+    Mirrors the loadcaffe graph of 001_prepro_img_vgg.lua:36."""
+    import torch
+
+    torch.manual_seed(seed)
+    blocks = {"vgg16": [2, 2, 3, 3, 3], "vgg19": [2, 2, 4, 4, 4]}[arch]
+    widths = [64, 128, 256, 512, 512]
+    layers = []
+    c_in = 3
+    for width, n in zip(widths, blocks):
+        for _ in range(n):
+            layers += [torch.nn.Conv2d(c_in, width, 3, padding=1), torch.nn.ReLU()]
+            c_in = width
+        layers.append(torch.nn.MaxPool2d(2))
+    features = torch.nn.Sequential(*layers)
+    fc6 = torch.nn.Linear(7 * 7 * 512, 4096)
+    fc7 = torch.nn.Linear(4096, 4096)
+    fc8 = torch.nn.Linear(4096, num_classes)
+    return features, fc6, fc7, fc8
+
+
+def measure_fc7(batch_size=10, iters=2, warmup=1, seed=0):
+    """Torch-CPU fc7 extraction rate (compute only, decode excluded — the
+    same scope as the device-time images/sec/chip metric).  Reference
+    workload: 001_prepro_img_vgg.lua:101-113 at batch 10."""
+    import torch
+
+    features, fc6, fc7, _ = build_torch_vgg(seed=seed)
+    rs = np.random.RandomState(seed)
+    x = torch.from_numpy(rs.randn(batch_size, 3, 224, 224).astype(np.float32))
+
+    def one_batch():
+        with torch.no_grad():
+            f = features(x)
+            f = torch.relu(fc6(f.reshape(batch_size, -1)))
+            return torch.relu(fc7(f))
+
+    for _ in range(warmup):
+        one_batch()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_batch()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch_size", type=int, default=500)
+    ap.add_argument("--fc7_iters", type=int, default=2)
+    ap.add_argument("--skip_fc7", action="store_true")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     qps = measure(batch_size=args.batch_size, iters=args.iters)
@@ -136,6 +186,12 @@ if __name__ == "__main__":
         "iters": args.iters,
         "note": "PyTorch-CPU re-enactment of 002_train_baseline.lua iteration",
     }
+    if not args.skip_fc7:
+        result["torch_cpu_fc7_images_per_sec"] = measure_fc7(iters=args.fc7_iters)
+        result["fc7_note"] = (
+            "PyTorch-CPU VGG-16 fc7 forward, batch 10 "
+            "(001_prepro_img_vgg.lua:101-113), compute only"
+        )
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
