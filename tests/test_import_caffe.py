@@ -1,0 +1,217 @@
+"""Round-trip tests for the direct .caffemodel importer
+(novel_vqa_tpu/train/import_caffe.py — VERDICT round-1 item 4).
+
+A synthetic VGG-16-shaped caffemodel is encoded here with an independent
+minimal protobuf writer (both the legacy ``layers``/V1LayerParameter framing
+with num/channels/height/width blob shapes, and the modern ``layer`` framing
+with BlobShape), then parsed back and checked for the OIHW->HWIO transpose,
+the (out,in)->(in,out) FC transpose with the (1,1,out,in) legacy squeeze,
+and the net_utils.lua:25-33 BGR->RGB first-conv swap.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from novel_vqa_tpu.train import import_caffe as ic
+
+
+# --------------------------------------------------- minimal proto writer
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _tag(field: int, wt: int) -> bytes:
+    return _varint((field << 3) | wt)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _vint(field: int, val: int) -> bytes:
+    return _tag(field, 0) + _varint(val)
+
+
+def _blob_legacy(arr: np.ndarray, packed=True) -> bytes:
+    """BlobProto with num/channels/height/width shape fields."""
+    shape = list(arr.shape) + [1] * (4 - arr.ndim)
+    msg = b"".join(_vint(i + 1, shape[i]) for i in range(4))
+    data = np.asarray(arr, "<f4").reshape(-1).tobytes()
+    if packed:
+        msg += _ld(5, data)
+    else:
+        for i in range(0, len(data), 4):
+            msg += _tag(5, 5) + data[i : i + 4]
+    return msg
+
+
+def _blob_shaped(arr: np.ndarray) -> bytes:
+    """BlobProto with a BlobShape message (field 7)."""
+    shape_msg = b"".join(_vint(1, d) for d in arr.shape)
+    return _ld(7, shape_msg) + _ld(5, np.asarray(arr, "<f4").reshape(-1).tobytes())
+
+
+def _v1_layer(name: str, blobs) -> bytes:
+    msg = _ld(4, name.encode()) + _vint(5, 4)  # type enum: CONVOLUTION=4
+    for b in blobs:
+        msg += _ld(6, _blob_legacy(b))
+    return msg
+
+
+def _new_layer(name: str, type_str: str, blobs) -> bytes:
+    msg = _ld(1, name.encode()) + _ld(2, type_str.encode())
+    for b in blobs:
+        msg += _ld(7, _blob_shaped(b))
+    return msg
+
+
+_VGG16_CONVS = [
+    (64, 3), (64, 64), (128, 64), (128, 128),
+    (256, 128), (256, 256), (256, 256),
+    (512, 256), (512, 512), (512, 512),
+    (512, 512), (512, 512), (512, 512),
+]
+
+
+def _synthetic_vgg(rs, legacy=True, fc_in=50):
+    """Serialized NetParameter with 13 tiny convs + 3 FCs."""
+    net = _ld(1, b"VGG_synthetic")
+    conv_ws, conv_bs = [], []
+    for o, i in _VGG16_CONVS:
+        o_, i_ = max(2, o // 32), max(2, i // 32) if i > 3 else i
+        w = rs.randn(o_, i_, 3, 3).astype(np.float32)
+        b = rs.randn(o_).astype(np.float32)
+        conv_ws.append(w)
+        conv_bs.append(b)
+    fc_dims = [(20, fc_in), (20, 20), (10, 20)]
+    fc_ws = [rs.randn(o, i).astype(np.float32) for o, i in fc_dims]
+    fc_bs = [rs.randn(o).astype(np.float32) for o, _ in fc_dims]
+    for idx, (w, b) in enumerate(zip(conv_ws, conv_bs)):
+        if legacy:
+            net += _ld(2, _v1_layer(f"conv{idx}", [w, b]))
+        else:
+            net += _ld(100, _new_layer(f"conv{idx}", "Convolution", [w, b]))
+    for idx, (w, b) in enumerate(zip(fc_ws, fc_bs)):
+        if legacy:
+            # legacy FC blobs ship 4-D as (1, 1, out, in)
+            w4 = w.reshape(1, 1, *w.shape)
+            net += _ld(2, _v1_layer(f"fc{6+idx}", [w4, b]))
+        else:
+            net += _ld(100, _new_layer(f"fc{6+idx}", "InnerProduct", [w, b]))
+    # a parameterless layer (relu) that must be ignored
+    if legacy:
+        net += _ld(2, _v1_layer("relu1", []))
+    else:
+        net += _ld(100, _new_layer("relu1", "ReLU", []))
+    return net, conv_ws, conv_bs, fc_ws, fc_bs
+
+
+@pytest.mark.parametrize("legacy", [True, False])
+def test_caffemodel_roundtrip(tmp_path, legacy):
+    rs = np.random.RandomState(0)
+    net, conv_ws, conv_bs, fc_ws, fc_bs = _synthetic_vgg(rs, legacy=legacy)
+    path = tmp_path / "net.caffemodel"
+    path.write_bytes(net)
+
+    flat = ic.caffemodel_to_npz(str(path), str(tmp_path / "out.npz"), arch="vgg16")
+    assert sum(1 for k in flat if k.startswith("conv/") and k.endswith("/w")) == 13
+    for i, (w, b) in enumerate(zip(conv_ws, conv_bs)):
+        np.testing.assert_array_equal(
+            flat[f"conv/{i}/w"], np.transpose(w, (2, 3, 1, 0))
+        )
+        np.testing.assert_array_equal(flat[f"conv/{i}/b"], b)
+    for name, w, b in zip(("fc6", "fc7", "fc8"), fc_ws, fc_bs):
+        np.testing.assert_array_equal(flat[f"{name}/w"], w.T)
+        np.testing.assert_array_equal(flat[f"{name}/b"], b)
+
+    # saved npz loads back identically
+    loaded = dict(np.load(tmp_path / "out.npz"))
+    np.testing.assert_array_equal(loaded["conv/0/w"], flat["conv/0/w"])
+
+
+def test_bgr_to_rgb_swap(tmp_path):
+    rs = np.random.RandomState(1)
+    net, conv_ws, _, _, _ = _synthetic_vgg(rs)
+    path = tmp_path / "net.caffemodel"
+    path.write_bytes(net)
+    flat = ic.caffemodel_to_npz(
+        str(path), str(tmp_path / "out.npz"), arch="vgg16", bgr_to_rgb=True
+    )
+    # first conv: input-channel axis reversed (net_utils.lua:25-33); HWIO
+    # layout puts input channels on axis 2
+    w0 = np.transpose(conv_ws[0], (2, 3, 1, 0))
+    np.testing.assert_array_equal(flat["conv/0/w"], w0[:, :, ::-1, :])
+    # later convs untouched
+    w1 = np.transpose(conv_ws[1], (2, 3, 1, 0))
+    np.testing.assert_array_equal(flat["conv/1/w"], w1)
+
+
+def test_unpacked_float_blobs(tmp_path):
+    """Very old caffemodels may store unpacked repeated floats."""
+    rs = np.random.RandomState(2)
+    w = rs.randn(2, 3, 3, 3).astype(np.float32)
+    blob = b""
+    shape = list(w.shape)
+    blob += b"".join(_vint(i + 1, shape[i]) for i in range(4))
+    data = np.asarray(w, "<f4").reshape(-1).tobytes()
+    for i in range(0, len(data), 4):
+        blob += _tag(5, 5) + data[i : i + 4]
+    arr = ic.parse_blob(blob)
+    np.testing.assert_array_equal(arr, w)
+
+
+def test_wrong_conv_count_raises(tmp_path):
+    rs = np.random.RandomState(3)
+    net = _ld(1, b"tiny")
+    net += _ld(2, _v1_layer("conv0", [rs.randn(2, 3, 3, 3).astype(np.float32)]))
+    path = tmp_path / "bad.caffemodel"
+    path.write_bytes(net)
+    with pytest.raises(ValueError, match="expects 13 conv layers"):
+        ic.caffemodel_to_npz(str(path), str(tmp_path / "o.npz"), arch="vgg16")
+
+
+def test_parsed_weights_drive_the_jax_vgg(tmp_path):
+    """The importer's flat layout loads into the framework's VGG tree and
+    produces a forward pass (shape-level integration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core.checkpoint import unflatten_like
+    from novel_vqa_tpu.models.vision import vgg
+
+    cfg = vgg.VGGConfig(arch="vgg16", image_size=32)
+    template = jax.device_get(vgg.init_params(jax.random.PRNGKey(0), cfg))
+
+    # encode template's own weights as a caffemodel, then re-import
+    net = _ld(1, b"roundtrip")
+    for i, cp in enumerate(template["conv"]):
+        w_oihw = np.transpose(np.asarray(cp["w"]), (3, 2, 0, 1))
+        net += _ld(2, _v1_layer(f"conv{i}", [w_oihw, np.asarray(cp["b"])]))
+    for name in ("fc6", "fc7", "fc8"):
+        w = np.asarray(template[name]["w"]).T  # (out, in)
+        w4 = w.reshape(1, 1, *w.shape)
+        net += _ld(2, _v1_layer(name, [w4, np.asarray(template[name]["b"])]))
+    path = tmp_path / "rt.caffemodel"
+    path.write_bytes(net)
+
+    flat = ic.caffemodel_to_npz(str(path), str(tmp_path / "rt.npz"))
+    params = unflatten_like(template, flat)
+    for i in range(13):
+        np.testing.assert_allclose(
+            params["conv"][i]["w"], template["conv"][i]["w"], rtol=1e-6
+        )
+    x = np.random.RandomState(4).randn(1, 32, 32, 3).astype(np.float32)
+    out = vgg.apply(params, cfg, jnp.asarray(x), tap="fc7")
+    ref = vgg.apply(template, cfg, jnp.asarray(x), tap="fc7")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
