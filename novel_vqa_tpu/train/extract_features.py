@@ -35,7 +35,7 @@ from novel_vqa_tpu.core.config import parse_config
 class ExtractConfig:
     input_json: str = "data_prepro.json"
     image_root: str = ""
-    model: str = "vgg16"  # vgg16 | vgg19 | inception
+    model: str = "vgg16"  # vgg16 | vgg19 | vggembed | inception
     weights: str = ""  # converted .npz weight dump ('' = random init)
     model2: str = ""  # optional second net for early fusion
     weights2: str = ""
@@ -45,6 +45,7 @@ class ExtractConfig:
     decode_workers: int = 8
     seed: int = 123
     limit: int = -1  # cap images per split (for smoke tests)
+    image_size: int = 0  # override net input resolution (smoke tests only)
     # "reference" = the pipeline matching caffe/t7 weights (VGG: BGR 0-255
     # mean-sub; Inception: (x-128)/128); "torchvision" = ImageNet
     # normalization for weights imported via import_pth.py
@@ -53,19 +54,32 @@ class ExtractConfig:
 
 def build_model(
     name: str, weights: str, tap: str, seed: int, batch_size: int = 0,
-    prepro_mode: str = "reference",
+    prepro_mode: str = "reference", mesh=None, image_size: int = 0,
 ):
+    """Returns (forward, decode_size, center_crop, feature_dims).
+
+    ``mesh``: explicit mesh for batch-sharded extraction (default: auto-build
+    one when >1 default-platform device is attached).  ``image_size``:
+    override the net's input resolution (tests/dry-runs only — the reference
+    extractors are fixed at 224/299)."""
     import jax
     import jax.numpy as jnp
 
     from novel_vqa_tpu.data import images as I
 
-    if name in ("vgg16", "vgg19"):
+    if name in ("vgg16", "vgg19", "vggembed"):
         from novel_vqa_tpu.models.vision import vgg as net
 
-        cfg = net.VGGConfig(arch=name)
-        size, crop, prepro = 224, False, I.vgg_device_prepro
-        ndims = {"fc7": 4096, "fc6": 4096, "fc8": cfg.num_classes}[tap]
+        cfg = net.VGGConfig(arch=name, image_size=image_size or 224)
+        size, crop, prepro = cfg.image_size, False, I.vgg_device_prepro
+        if name == "vggembed":
+            # early-fusion embedding net: the 4800-d module-39 tap
+            # (001_prepro_img_ef.lua:99); pair with --model2 vgg19 for the
+            # 8896-d ef store (:99-101)
+            tap = "embed"
+            ndims = cfg.embed_dim
+        else:
+            ndims = {"fc7": 4096, "fc6": 4096, "fc8": cfg.num_classes}[tap]
         apply_fn = functools.partial(net.apply, cfg=cfg, tap=tap)
     elif name == "inception":
         from novel_vqa_tpu.models.vision import inception as net
@@ -99,10 +113,13 @@ def build_model(
     # batch-sharded DP over the mesh when more than one chip is attached
     # (SURVEY.md section 2.8: image batch sharded over chips, features
     # gathered to host in global order so the h5 layout is unchanged)
-    if len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
-        from novel_vqa_tpu.parallel import batch_sharded, make_mesh, replicated
+    if mesh is None and len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
+        from novel_vqa_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    if mesh is not None and batch_size % mesh.devices.size == 0:
+        from novel_vqa_tpu.parallel import batch_sharded, replicated
+
         params = jax.device_put(params, replicated(mesh))
         forward = jax.jit(
             lambda params, u8, missing: apply_fn(params=params, images=prepro(u8, missing)),
@@ -111,11 +128,15 @@ def build_model(
         )
         return functools.partial(forward, params), size, crop, ndims
 
+    # params are a runtime argument, NOT a closure capture: closed-over
+    # device arrays are baked into the HLO as literal constants, which for
+    # VGG-16 means shipping ~550 MB of weights inside the program (the
+    # remote-compile path rejects it outright with HTTP 413)
     @jax.jit
-    def forward(u8, missing):
+    def forward(params, u8, missing):
         return apply_fn(params=params, images=prepro(u8, missing))
 
-    return forward, size, crop, ndims
+    return functools.partial(forward, jax.device_put(params)), size, crop, ndims
 
 
 def main(argv=None):
@@ -127,9 +148,15 @@ def main(argv=None):
     with open(opt.input_json) as f:
         meta = json.load(f)
 
-    models = [build_model(opt.model, opt.weights, opt.tap, opt.seed, opt.batch_size, opt.prepro)]
+    models = [
+        build_model(opt.model, opt.weights, opt.tap, opt.seed, opt.batch_size,
+                    opt.prepro, image_size=opt.image_size)
+    ]
     if opt.model2:
-        models.append(build_model(opt.model2, opt.weights2, opt.tap, opt.seed, opt.batch_size, opt.prepro))
+        models.append(
+            build_model(opt.model2, opt.weights2, opt.tap, opt.seed,
+                        opt.batch_size, opt.prepro, image_size=opt.image_size)
+        )
 
     with h5py.File(opt.out_name, "w") as out:
         for split in ("train", "test", "val"):
