@@ -57,8 +57,15 @@ from novel_vqa_tpu.ops import optim as ref_optim
 class WPTrainConfig:
     input_h5: str = "data/data.h5"
     input_json: str = "data/data.json"
+    # warm restart: reload BOTH nets {ae, cnn} from a saved model_id .npz
+    # (004_train_arch1_weakpaired_autoencoder_vgg.lua:121-127 reloads protos)
     start_from: str = ""
     start_from_text: str = ""
+    # full-state resume (both params + BOTH optimizer states + iteration;
+    # the finetune gate phase is a function of the restored iteration) from
+    # a train_state .npz written by --save_train_state
+    resume: str = ""
+    save_train_state: int = 0
     cnn_arch: str = "vgg16"  # vgg16 | inception
     cnn_weights: str = ""  # converted .npz trunk weights ('' = random)
     lstm_average_path: str = ""
@@ -238,10 +245,40 @@ def main(argv=None):
         with h5py.File(opt.lstm_average_path, "r") as f:
             lstm_mean = np.asarray(f["mean_vector"][()], np.float32).reshape(-1)
 
+    if opt.start_from:
+        # warm restart of BOTH nets from a saved best checkpoint — the
+        # reference reloads protos={ae,cnn} wholesale (:121-127)
+        flat, _ = load_npz(opt.start_from)
+        tpl = {"ae": jax.device_get(ae_params), "cnn": jax.device_get(cnn_params)}
+        restored = unflatten_like(tpl, flat)
+        ae_params = jax.tree_util.tree_map(jnp.asarray, restored["ae"])
+        cnn_params = jax.tree_util.tree_map(jnp.asarray, restored["cnn"])
+        print(f"initialized ae+cnn from {opt.start_from}")
+
     ae_tx = make_ae_tx(opt)
     cnn_tx = make_cnn_tx(opt)
     ae_opt_state = ae_tx.init(ae_params)
     cnn_opt_state = cnn_tx.init(cnn_params)
+
+    start_iter = 0
+    if opt.resume:
+        # full-state resume: both param trees + BOTH optimizer accumulator
+        # sets + the iteration counter (which also restores the
+        # --finetune_cnn_after gate phase, since finetune = iter >= gate)
+        flat, meta_d = load_npz(opt.resume)
+        tpl = {
+            "ae": jax.device_get(ae_params),
+            "cnn": jax.device_get(cnn_params),
+            "ae_opt": jax.device_get(ae_opt_state),
+            "cnn_opt": jax.device_get(cnn_opt_state),
+        }
+        restored = unflatten_like(tpl, flat)
+        ae_params = jax.tree_util.tree_map(jnp.asarray, restored["ae"])
+        cnn_params = jax.tree_util.tree_map(jnp.asarray, restored["cnn"])
+        ae_opt_state = jax.tree_util.tree_map(jnp.asarray, restored["ae_opt"])
+        cnn_opt_state = jax.tree_util.tree_map(jnp.asarray, restored["cnn_opt"])
+        start_iter = int(meta_d.get("iter", 0)) + 1
+        print(f"resumed from {opt.resume} at iteration {start_iter}")
 
     def loss_from_feats(ae_params, feats, seq, sent_input, seq_input, skip, rng):
         if opt.variant == "vqa_arch":
@@ -321,7 +358,7 @@ def main(argv=None):
         return loss_sum / max(1, n_evals)
 
     rng = jax.random.PRNGKey(opt.seed + 1)
-    it = 0
+    it = start_iter
     loss0, best_score = None, None
     loss_history, val_loss_history = {}, {}
     while True:
@@ -394,6 +431,17 @@ def main(argv=None):
                     meta={"cfg": cfg._asdict(), "iter": it, "val_loss": val_loss},
                 )
                 print("wrote BEST checkpoint to " + base + ".npz")
+            if opt.save_train_state:
+                save_npz(
+                    os.path.join(ckpt_dir, "train_state" + opt.id + ".npz"),
+                    {
+                        "ae": jax.device_get(ae_params),
+                        "cnn": jax.device_get(cnn_params),
+                        "ae_opt": jax.device_get(ae_opt_state),
+                        "cnn_opt": jax.device_get(cnn_opt_state),
+                    },
+                    meta={"cfg": cfg._asdict(), "iter": it},
+                )
 
         it += 1
         if 0 < opt.max_iters <= it:
