@@ -28,10 +28,17 @@ import jax.numpy as jnp
 
 from novel_vqa_tpu.models.vision.layers import conv2d, conv_init, linear, linear_init, max_pool
 
-# convs per block (all 3x3); pools after each block
+# convs per block (all 3x3); pools after each block.  "vggembed" is the
+# custom early-fusion embedding net (thin_VGGNetEmbed in VGGEmbed.t7,
+# 002_train_vqa_arch1/001_prepro_img_ef.lua:39-41): a VGG-16 backbone whose
+# classifier head is replaced by a Linear(4096 -> 4800) embedding; the ef
+# extractor taps net.modules[39].output — in the module list (31 conv/pool
+# modules, view 32, fc6 33-35, fc7 36-38) module 39 IS that Linear, so the
+# tap is its raw (pre-activation) output (:99).
 _BLOCKS = {
     "vgg16": [2, 2, 3, 3, 3],
     "vgg19": [2, 2, 4, 4, 4],
+    "vggembed": [2, 2, 3, 3, 3],
 }
 _WIDTHS = [64, 128, 256, 512, 512]
 
@@ -40,6 +47,7 @@ class VGGConfig(NamedTuple):
     arch: str = "vgg16"
     num_classes: int = 1000
     image_size: int = 224
+    embed_dim: int = 4800  # vggembed head width (001_prepro_img_ef.lua:99)
 
 
 def init_params(rng: jax.Array, cfg: VGGConfig) -> Dict[str, Any]:
@@ -57,7 +65,10 @@ def init_params(rng: jax.Array, cfg: VGGConfig) -> Dict[str, Any]:
     feat = (cfg.image_size // 32) ** 2 * 512  # 7*7*512 for 224
     params["fc6"] = linear_init(ks[-3], feat, 4096)
     params["fc7"] = linear_init(ks[-2], 4096, 4096)
-    params["fc8"] = linear_init(ks[-1], 4096, cfg.num_classes)
+    if cfg.arch == "vggembed":
+        params["embed"] = linear_init(ks[-1], 4096, cfg.embed_dim)
+    else:
+        params["fc8"] = linear_init(ks[-1], 4096, cfg.num_classes)
     return params
 
 
@@ -89,4 +100,7 @@ def apply(
     x = linear(params["fc7"], x, relu=True)
     if tap == "fc7":
         return x
+    if tap == "embed":
+        # module 39's raw Linear output — no activation follows the tap
+        return linear(params["embed"], x)
     return linear(params["fc8"], x)

@@ -63,7 +63,11 @@ def vision_t7_to_npz(net: Any, out_path: str, bgr_to_rgb: bool, arch: str):
         ).astype(np.float32)  # HWIO
         if m["bias"] is not None:
             flat[f"conv/{i}/b"] = np.asarray(m["bias"], np.float32)
-    fc_names = ["fc6", "fc7", "fc8"]
+    # "vggembed" = thin_VGGNetEmbed (001_prepro_img_ef.lua:39-41): VGG-16
+    # trunk whose third Linear is the 4800-d embedding head (module 39)
+    fc_names = (
+        ["fc6", "fc7", "embed"] if arch == "vggembed" else ["fc6", "fc7", "fc8"]
+    )
     for name, m in zip(fc_names, linears):
         flat[f"{name}/w"] = np.ascontiguousarray(m["weight"].T).astype(np.float32)
         flat[f"{name}/b"] = np.asarray(m["bias"], np.float32)
