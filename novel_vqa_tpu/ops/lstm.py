@@ -72,11 +72,19 @@ def lstm_step(
 ) -> Tuple[jax.Array, jax.Array]:
     """One fused-gate LSTM step. x: (N, in); c, h: (N, H). Returns (c', h').
 
-    Set ``NOVEL_VQA_PALLAS=1`` to route through the fused Pallas kernel on
-    TPU (ops/pallas_lstm.py) — same math, single on-chip pass."""
+    On TPU this routes through the fused Pallas kernel by DEFAULT
+    (ops/pallas_lstm.py — same math, single on-chip pass): trace-derived
+    device time on a v5e measures the arch1 train step at 3.25 ms/step
+    with the Pallas cell vs 3.73 ms with the XLA cell (batch 500, 2x512,
+    T=16 — 15% faster, 30.1% vs 26.2% MFU).  Set ``NOVEL_VQA_PALLAS=0``
+    to force the plain XLA path."""
     import os
 
-    if os.environ.get("NOVEL_VQA_PALLAS") == "1" and jax.default_backend() == "tpu":
+    if (
+        os.environ.get("NOVEL_VQA_PALLAS", "1") != "0"
+        and jax.default_backend() == "tpu"
+        and c.shape[-1] % 128 == 0  # lane-aligned H; tiny models stay on XLA
+    ):
         from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_step
 
         return pallas_lstm_step(params, x, c, h)
@@ -176,9 +184,29 @@ def lstm_encode(
     Returns the final (c, h) state, or (final_state, (cs, hs)) per-step states
     when ``return_sequence``.
     """
+    import os
+
     num_layers = len(params)
     seq_len, batch, _ = xs.shape
     rnn_size = params[0]["wh"].shape[0]
+
+    # deterministic whole-sequence encodes route through the full-sequence
+    # Pallas kernel on TPU (weights stay VMEM-resident across all T steps):
+    # 412 us vs 485 us for the XLA per-step scan at reference sizes
+    # (2x512, T=16, B=512, tile 64 — trace device time on a v5e)
+    if (
+        deterministic
+        and init_state is None
+        and not return_sequence
+        and not remat
+        and rnn_size % 128 == 0  # lane-aligned H; tiny models stay on XLA
+        and os.environ.get("NOVEL_VQA_PALLAS", "1") != "0"
+        and jax.default_backend() == "tpu"
+    ):
+        from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
+
+        return pallas_lstm_encode(params, xs, mask)
+
     if init_state is None:
         zeros = jnp.zeros((num_layers, batch, rnn_size), xs.dtype)
         init_state = (zeros, zeros)

@@ -294,7 +294,7 @@ def pallas_lstm_seq(
     xs: jax.Array,  # (T, N, In) time-major inputs
     mask: jax.Array,  # (T, N)
     *,
-    tile_n: int = 32,
+    tile_n: int = 64,
     interpret: bool = False,
 ):
     """Full-sequence fused LSTM layer: returns (c, h, hs) with hs the
@@ -311,7 +311,7 @@ def pallas_lstm_encode(
     xs: jax.Array,
     mask: jax.Array,
     *,
-    tile_n: int = 32,
+    tile_n: int = 64,
     interpret: bool = False,
 ):
     """Multi-layer masked encode via stacked full-sequence kernels — the
