@@ -43,7 +43,9 @@ def bench_train():
 
     batch_size = int(os.environ.get("BENCH_BATCH", 500))
     seq = int(os.environ.get("BENCH_SEQ", 16))
-    iters = int(os.environ.get("BENCH_ITERS", 200))
+    # trace collection through the tunnel costs ~2 min regardless of size;
+    # 4 traced chunks (100 steps) give stable device-time statistics
+    iters = int(os.environ.get("BENCH_ITERS", 100))
     warmup = int(os.environ.get("BENCH_WARMUP", 25))
 
     cfg = arch1.Arch1Config(vocab_size=12782)

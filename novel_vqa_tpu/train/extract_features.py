@@ -175,10 +175,21 @@ def main(argv=None):
             for forward, size, crop, ndims in models:
                 pool = DecodePool(size, crop, workers=opt.decode_workers)
                 row = 0
+                # software-pipelined dispatch: batch i+1 is decoded (pool)
+                # and dispatched while batch i's features transfer back, so
+                # host decode, device compute, and device->host copy overlap
+                # (the reference serializes all three, SURVEY.md section 3.3)
+                pending = None  # (device_result, row, real)
                 for u8, missing, real in pool.iter_batches(paths, opt.batch_size):
-                    f = np.asarray(forward(jnp.asarray(u8), jnp.asarray(missing)))
-                    feats[row : row + real, col : col + ndims] = f[:real]
+                    dev = forward(jnp.asarray(u8), jnp.asarray(missing))
+                    if pending is not None:
+                        pf, prow, preal = pending
+                        feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
+                    pending = (dev, row, real)
                     row += real
+                if pending is not None:
+                    pf, prow, preal = pending
+                    feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
                 pool.close()
                 col += ndims
             dt = time.perf_counter() - t0
