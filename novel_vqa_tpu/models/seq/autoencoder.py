@@ -173,7 +173,11 @@ def _scan_encoder(
         h = jnp.where(a_t, h_new, state[1])
         return (c, h), None
 
-    (c, h), _ = jax.lax.scan(body, state, (xs, active, step_rngs))
+    # short time loops fully unroll (same ~9% device-time win as measured
+    # for the arch1 trainer; see ops/lstm.lstm_encode)
+    (c, h), _ = jax.lax.scan(
+        body, state, (xs, active, step_rngs), unroll=T if T <= 18 else 1
+    )
     return c, h
 
 
@@ -257,7 +261,10 @@ def decode_teacher_forced(
         )
         return (c, h), jax.nn.log_softmax(logits, axis=-1)
 
-    _, logprobs = jax.lax.scan(body, init_state, (xs, step_rngs))
+    T_dec = xs.shape[0]
+    _, logprobs = jax.lax.scan(
+        body, init_state, (xs, step_rngs), unroll=T_dec if T_dec <= 18 else 1
+    )
     return logprobs
 
 
