@@ -196,6 +196,18 @@ def bench_fc7():
     pool.close()
     decode_rate = n_images / decode_wall
 
+    fast_rate = None
+    try:
+        from novel_vqa_tpu.data import native_images
+
+        if native_images.available():
+            t0 = time.perf_counter()
+            native_images.decode_batch_native(paths, size, False, workers,
+                                              fast_scale=True)
+            fast_rate = n_images / (time.perf_counter() - t0)
+    except Exception as e:  # diagnostics only
+        _log("fc7: fast-decode rate unavailable:", repr(e))
+
     dev_batches = [
         (jnp.asarray(u8), jnp.asarray(m)) for u8, m in host_batches
     ]
@@ -251,6 +263,7 @@ def bench_fc7():
             "value": rec.get("items_per_sec"),
             "batch_size": batch,
             "decode_images_per_sec": round(decode_rate, 2),
+            "decode_images_per_sec_fast": fast_rate and round(fast_rate, 2),
             "decode_workers": workers,
         }
     )

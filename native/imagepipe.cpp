@@ -47,7 +47,7 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-bool decode_jpeg(FILE* f, Image* out) {
+bool decode_jpeg(FILE* f, Image* out, int scale_target) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -63,6 +63,21 @@ bool decode_jpeg(FILE* f, Image* out) {
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (scale_target > 0) {
+    // DCT-domain downscale: decode at 1/d (d in {1,2,4,8}) while keeping the
+    // decoded short side >= the final size, so the subsequent bilinear never
+    // upsamples.  IDCT cost drops ~d^2 (COCO 640x480 -> 224 decodes at 1/2);
+    // pixels deviate from a full-res decode at the few-intensity-level scale
+    // - this mode is opt-in, the default path decodes full-res.
+    unsigned int short_side =
+        cinfo.image_width < cinfo.image_height ? cinfo.image_width
+                                               : cinfo.image_height;
+    unsigned int d = 1;
+    while (d < 8 && short_side / (d * 2) >= (unsigned int)scale_target)
+      d *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = d;
+  }
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
   out->h = cinfo.output_height;
@@ -166,7 +181,8 @@ void bilinear_resize(const uint8_t* src, int sw, int sh, int x0, int y0,
   }
 }
 
-int decode_one(const char* path, int size, int center_crop, uint8_t* out) {
+int decode_one(const char* path, int size, int center_crop, int fast_scale,
+               uint8_t* out) {
   FILE* f = fopen(path, "rb");
   if (!f) return 1;  // missing
   Image img;
@@ -175,12 +191,13 @@ int decode_one(const char* path, int size, int center_crop, uint8_t* out) {
   size_t got = fread(magic, 1, 8, f);
   fseek(f, 0, SEEK_SET);
   bool ok = false;
+  int target = fast_scale ? size : 0;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, &img);
+    ok = decode_jpeg(f, &img, target);
   } else if (got >= 8 && !png_sig_cmp(magic, 0, 8)) {
     ok = decode_png(f, &img);
   } else {
-    ok = decode_jpeg(f, &img);  // try jpeg as default
+    ok = decode_jpeg(f, &img, target);  // try jpeg as default
   }
   fclose(f);
   if (!ok || img.data == nullptr) {
@@ -204,6 +221,7 @@ struct BatchTask {
   int n;
   int size;
   int center_crop;
+  int fast_scale;
   uint8_t* out;
   int* status;
   int next;  // guarded by mutex
@@ -218,6 +236,7 @@ void* batch_worker(void* arg) {
     pthread_mutex_unlock(&t->mutex);
     if (i >= t->n) break;
     t->status[i] = decode_one(t->paths[i], t->size, t->center_crop,
+                              t->fast_scale,
                               t->out + size_t(i) * t->size * t->size * 3);
   }
   return nullptr;
@@ -229,13 +248,36 @@ extern "C" {
 
 int imagepipe_decode_resize(const char* path, int size, int center_crop,
                             uint8_t* out) {
-  return decode_one(path, size, center_crop, out);
+  return decode_one(path, size, center_crop, /*fast_scale=*/0, out);
+}
+
+// v2: fast_scale=1 enables DCT-domain JPEG downscaling (see decode_jpeg)
+int imagepipe_decode_resize2(const char* path, int size, int center_crop,
+                             int fast_scale, uint8_t* out) {
+  return decode_one(path, size, center_crop, fast_scale, out);
+}
+
+int imagepipe_decode_batch2(const char** paths, int n, int size,
+                            int center_crop, int fast_scale, int n_threads,
+                            uint8_t* out, int* status) {
+  BatchTask task{paths, n, size, center_crop, fast_scale, out, status, 0,
+                 PTHREAD_MUTEX_INITIALIZER};
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  pthread_t threads[64];
+  if (n_threads > 64) n_threads = 64;
+  for (int i = 0; i < n_threads; i++)
+    pthread_create(&threads[i], nullptr, batch_worker, &task);
+  for (int i = 0; i < n_threads; i++) pthread_join(threads[i], nullptr);
+  int ok = 0;
+  for (int i = 0; i < n; i++) ok += (status[i] == 0);
+  return ok;
 }
 
 int imagepipe_decode_batch(const char** paths, int n, int size,
                            int center_crop, int n_threads, uint8_t* out,
                            int* status) {
-  BatchTask task{paths, n, size, center_crop, out, status, 0,
+  BatchTask task{paths, n, size, center_crop, /*fast_scale=*/0, out, status, 0,
                  PTHREAD_MUTEX_INITIALIZER};
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;

@@ -66,6 +66,18 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.imagepipe_decode_batch.restype = ctypes.c_int
+            if hasattr(lib, "imagepipe_decode_batch2"):
+                lib.imagepipe_decode_batch2.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.imagepipe_decode_batch2.restype = ctypes.c_int
             _lib = lib
         except OSError:
             _load_failed = True
@@ -94,9 +106,14 @@ def decode_resize_native(
 
 
 def decode_batch_native(
-    paths: List[str], size: int, center_crop_square: bool = False, n_threads: int = 8
+    paths: List[str], size: int, center_crop_square: bool = False, n_threads: int = 8,
+    fast_scale: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Threaded native batch decode -> (uint8 (N,size,size,3), missing mask).
+
+    ``fast_scale``: JPEGs decode DCT-downscaled (>= target short side) — up
+    to ~4x cheaper IDCT for COCO-sized inputs; pixels deviate from the exact
+    full-res path at the few-intensity-level scale, so the default is off.
 
     Decode *errors* are treated like missing files (the reference substitutes
     its mean-image for unreadable inputs, 001_prepro_img_vgg.lua:47-57)."""
@@ -105,6 +122,20 @@ def decode_batch_native(
     out = np.empty((n, size, size, 3), np.uint8)
     status = np.empty((n,), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if fast_scale and hasattr(lib, "imagepipe_decode_batch2"):
+        lib.imagepipe_decode_batch2(
+            arr,
+            n,
+            size,
+            int(center_crop_square),
+            1,
+            n_threads,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        missing = status != 0
+        out[missing] = 0
+        return out, missing
     lib.imagepipe_decode_batch(
         arr,
         n,

@@ -42,8 +42,10 @@ def _cbr_init(rng, kh, kw, c_in, c_out):
 
 
 def _cbr(p, x, stride=(1, 1), padding="SAME"):
+    # input follows the conv weight dtype (bf16-storage mode: see
+    # layers.conv2d); BN runs on the f32 accumulator output either way
     y = jax.lax.conv_general_dilated(
-        x,
+        x.astype(p["conv"]["w"].dtype),
         p["conv"]["w"],
         window_strides=stride,
         padding=padding,
