@@ -126,9 +126,6 @@ def build_model(
         # cast conv/linear weights only — BN running stats stay f32 (the
         # rsqrt/eps math is precision-sensitive); the layer primitives cast
         # their inputs to the weight dtype, so activations store bf16
-        def _cast(path_leaf):
-            return path_leaf.astype(jnp.bfloat16)
-
         def _cast_tree(p):
             if isinstance(p, dict):
                 if set(p) == {"scale", "offset", "mean", "var"}:
@@ -136,7 +133,7 @@ def build_model(
                 return {k: _cast_tree(v) for k, v in p.items()}
             if isinstance(p, list):
                 return [_cast_tree(v) for v in p]
-            return _cast(p)
+            return p.astype(jnp.bfloat16)
 
         params = _cast_tree(jax.device_get(params))
         params = jax.tree_util.tree_map(jnp.asarray, params)

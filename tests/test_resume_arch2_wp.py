@@ -203,8 +203,6 @@ def test_wp_start_from_warm_restart(wp_files):
     from novel_vqa_tpu.core.checkpoint import load_npz
     from novel_vqa_tpu.train import train_weakpaired_ae
 
-    d1 = str(wp_files["tmp"] / "s1")
-    assert os.path.exists(os.path.join(d1, "model_id.npz")) or True
     src = os.path.join(str(wp_files["tmp"] / "r1"), "model_id.npz")
     assert os.path.exists(src), "run test_wp_full_state_resume first (module order)"
 
