@@ -68,6 +68,8 @@ class AETrainConfig:
     losses_log_every: int = 25
     id: str = ""
     seed: int = 123
+    profile_dir: str = ""  # jax.profiler trace output dir ('' = off)
+    debug_nans: int = 0
     sample_print: int = 0  # print N greedy samples per eval (reference prints all)
     # 1 = score greedy reconstructions with local BLEU/CIDEr and gate the
     # best checkpoint on CIDEr (the reference shells out to coco-caption,
@@ -254,6 +256,14 @@ def main(argv=None):
     loss_history = {}
     val_loss_history = {}
     it = 0
+
+    import contextlib
+
+    from novel_vqa_tpu.core.profiling import nan_guard, trace
+
+    _stack = contextlib.ExitStack()
+    _stack.enter_context(trace(opt.profile_dir or None))
+    _stack.enter_context(nan_guard(bool(opt.debug_nans)))
     while True:
         rng, sub = jax.random.split(rng)
         if chunk > 1:

@@ -59,6 +59,8 @@ class TrainConfig:
     save_checkpoint_every: int = 25000
     checkpoint_path: str = "models_vqa/"
     seed: int = 123
+    profile_dir: str = ""  # jax.profiler trace output dir ('' = off)
+    debug_nans: int = 0
     weight_decay: float = 1e-4
     grad_clamp: float = 10.0
     init_from: str = ""  # AE .npz checkpoint (arch2 or null variant)
@@ -169,6 +171,14 @@ def main(argv=None):
 
     chunk = max(1, opt.steps_per_dispatch)
     it = 0
+
+    import contextlib
+
+    from novel_vqa_tpu.core.profiling import nan_guard, trace
+
+    _stack = contextlib.ExitStack()
+    _stack.enter_context(trace(opt.profile_dir or None))
+    _stack.enter_context(nan_guard(bool(opt.debug_nans)))
     while it < opt.max_iters:
         if (it + 1) % opt.save_checkpoint_every <= chunk - 1 or it == 0:
             loss_val = validate()

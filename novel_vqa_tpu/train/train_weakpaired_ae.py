@@ -100,6 +100,8 @@ class WPTrainConfig:
     losses_log_every: int = 25
     id: str = ""
     seed: int = 123
+    profile_dir: str = ""  # jax.profiler trace output dir ('' = off)
+    debug_nans: int = 0
     image_size: int = 256  # stored image side; cropped to crop_size
     crop_size: int = 224
 
@@ -361,6 +363,14 @@ def main(argv=None):
     it = start_iter
     loss0, best_score = None, None
     loss_history, val_loss_history = {}, {}
+
+    import contextlib
+
+    from novel_vqa_tpu.core.profiling import nan_guard, trace
+
+    _stack = contextlib.ExitStack()
+    _stack.enter_context(trace(opt.profile_dir or None))
+    _stack.enter_context(nan_guard(bool(opt.debug_nans)))
     while True:
         labels, images, _ = loader.get_batch_with_images("train", opt.batch_size)
         offsets = random_crop_offsets(np_rng, len(images), opt.image_size, opt.crop_size)
