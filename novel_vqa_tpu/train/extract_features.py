@@ -96,8 +96,8 @@ def build_model(
     elif name == "inception":
         from novel_vqa_tpu.models.vision import inception as net
 
-        cfg = net.InceptionConfig()
-        size, crop, prepro = 299, True, I.inception_device_prepro
+        cfg = net.InceptionConfig(image_size=image_size or 299)
+        size, crop, prepro = cfg.image_size, True, I.inception_device_prepro
         ndims = 2048
         apply_fn = functools.partial(net.apply, cfg=cfg, tap="pool")
     else:
