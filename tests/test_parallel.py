@@ -134,6 +134,54 @@ def test_dp_multi_step_scan_matches_single_device():
         )
 
 
+def test_arch2_dp_scan_matches_single_device():
+    """arch2's DP multi-step scan vs the single-device scan, 8 iterations."""
+    from novel_vqa_tpu.models.vqa import arch2
+
+    cfg = arch2.Arch2Config(
+        vocab_size=40,
+        input_encoding_size=10,
+        rnn_size=12,
+        num_layers=1,
+        nhimage=8,
+        num_output=4,
+        seq_length=5,
+    )
+    params = arch2.init_params(jax.random.PRNGKey(0), cfg)
+    tx = arch2.make_optimizer(learning_rate=1e-3)
+    opt_state = tx.init(params)
+
+    rs = np.random.RandomState(2)
+    n_q, n_im = 64, 16
+    data = {
+        "tokens": jnp.asarray(rs.randint(0, 40, size=(n_q, 5)).astype(np.int32)),
+        "image": jnp.asarray(rs.randn(n_im, 8).astype(np.float32)),
+        "img_pos": jnp.asarray(rs.randint(1, n_im + 1, size=(n_q,)).astype(np.int32)),
+        "answers": jnp.asarray(rs.randint(1, 5, size=(n_q,)).astype(np.int32)),
+    }
+    n_steps, batch = 8, 16
+    rng = jax.random.PRNGKey(9)
+
+    p1, o1, losses1 = arch2.train_steps_scan(
+        cfg, tx, params, opt_state, data, n_steps, batch, rng
+    )
+
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+    scan = arch2.make_dp_steps_scan(cfg, tx, mesh, n_steps, batch, donate=False)
+    p2, o2, losses2 = scan(
+        jax.device_put(arch2.init_params(jax.random.PRNGKey(0), cfg), repl),
+        jax.device_put(tx.init(arch2.init_params(jax.random.PRNGKey(0), cfg)), repl),
+        jax.device_put(data, repl),
+        jax.device_put(rng, repl),
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses1), np.asarray(losses2), rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
 def test_graft_entry_contract():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
