@@ -47,7 +47,6 @@ from novel_vqa_tpu.ops import (
     dropout,
     embedding_lookup,
     lstm_stack_step,
-    sequence_nll,
 )
 
 
@@ -268,6 +267,83 @@ def decode_teacher_forced(
     return logprobs
 
 
+def decode_teacher_forced_nll(
+    params,
+    cfg: AEConfig,
+    init_state: Tuple[jax.Array, jax.Array],
+    seq: jax.Array,  # (L, N)
+    *,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused decoder + LanguageModelCriterion: the masked NLL accumulates
+    INSIDE the decode scan, so the (L+1, N, V+1) logprobs tensor — 1.4 GB at
+    reference sizes (L=16, N=1000, V=20000) — is never materialized.  The
+    scan body is rematerialized (``jax.checkpoint``) so the backward
+    recomputes each step's logits instead of storing them; trading ~0.35
+    TFLOP of recompute for ~gigabytes of HBM residual traffic is what cuts
+    the text-AE train step (measured on the v5e: 28.5 -> see PERF.md).
+
+    Identical math (and identical dropout RNG layout) to
+    ``sequence_nll(decode_teacher_forced(...), seq)``; pinned by test.
+    Returns (loss, n).
+    """
+    from novel_vqa_tpu.ops.losses import sequence_targets
+
+    L, N = seq.shape
+    if rng is not None:
+        k_emb, k_start, k_scan = jax.random.split(rng, 3)
+        step_rngs = jax.random.split(k_scan, L + 1)
+    else:
+        k_emb = k_start = None
+        step_rngs = jnp.zeros((L + 1, 2), dtype=jnp.uint32)
+
+    start = jnp.full((N,), cfg.start_token, jnp.int32)
+    start_emb = _embed(params, cfg, start, k_start, deterministic)
+    embs = _embed(params, cfg, seq, k_emb, deterministic)
+    xs = jnp.concatenate([start_emb[None], embs], axis=0)  # (L+1, N, E)
+
+    dec = params["decoder"]
+    Mp1 = dec["proj_w"].shape[1]
+    targets, scored = sequence_targets(seq, Mp1)
+    gather_idx = jnp.clip(targets - 1, 0, Mp1 - 1)  # (L+1, N)
+
+    def body(carry, inp):
+        state, acc = carry
+        x_t, r_t, idx_t, sc_t = inp
+        if rng is not None:
+            r_step, r_top = jax.random.split(r_t)
+        else:
+            r_step = r_top = None
+        c, h = lstm_stack_step(
+            dec["layers"],
+            x_t,
+            state,
+            dropout_rate=cfg.dropout,
+            rng=r_step,
+            deterministic=deterministic,
+        )
+        top = h[-1]
+        if not deterministic and cfg.dropout > 0:
+            top = dropout(r_top, top, cfg.dropout, deterministic=False)
+        logits = (
+            jnp.dot(top, dec["proj_w"], preferred_element_type=jnp.float32)
+            + dec["proj_b"]
+        )
+        # log_softmax gathered at the target, without storing the full row
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, idx_t[:, None], axis=-1)[:, 0] - lse
+        acc = acc - jnp.sum(jnp.where(sc_t, picked, 0.0))
+        return ((c, h), acc), None
+
+    body = jax.checkpoint(body)
+    (_, loss_sum), _ = jax.lax.scan(
+        body, (init_state, jnp.float32(0.0)), (xs, step_rngs, gather_idx, scored)
+    )
+    n = jnp.sum(scored)
+    return loss_sum / n.astype(jnp.float32), n
+
+
 def _vqa_arch_decoder_init(
     params, cfg: AEConfig, c_enc, h_enc, imgs, rng, deterministic
 ):
@@ -304,6 +380,22 @@ def apply(
     deterministic: bool = True,
 ) -> jax.Array:
     """Full AE forward -> (L+1, N, V+1) decoder logprobs."""
+    state, k_dec = _decoder_start_state(
+        params, cfg, seq, imgs, sent_input, seq_input, encoder_skip, rng,
+        deterministic,
+    )
+    return decode_teacher_forced(
+        params, cfg, state, seq, rng=k_dec, deterministic=deterministic
+    )
+
+
+def _decoder_start_state(
+    params, cfg, seq, imgs, sent_input, seq_input, encoder_skip, rng,
+    deterministic,
+):
+    """Encoder (+ multimodal seed for vqa_arch) -> (decoder init state, k_dec).
+    The rng split layout is shared by apply/apply_nll so both draw identical
+    dropout."""
     if rng is not None:
         k_enc, k_mm, k_dec = jax.random.split(rng, 3)
     else:
@@ -330,20 +422,37 @@ def apply(
         state = _vqa_arch_decoder_init(
             params, cfg, c_enc, h_enc, imgs, k_mm, deterministic
         )
-        return decode_teacher_forced(
-            params, cfg, state, seq, rng=k_dec, deterministic=deterministic
-        )
     else:
         raise ValueError(cfg.variant)
+    return state, k_dec
 
-    return decode_teacher_forced(
+
+def apply_nll(
+    params,
+    cfg: AEConfig,
+    seq: jax.Array,
+    *,
+    imgs: Optional[jax.Array] = None,
+    sent_input: Optional[jax.Array] = None,
+    seq_input: Optional[jax.Array] = None,
+    encoder_skip: bool = False,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full AE forward to the fused masked-NLL loss (never materializes the
+    (L+1, N, V+1) logprobs — see decode_teacher_forced_nll).  Equal to
+    ``sequence_nll(apply(...), seq)`` with the same rng."""
+    state, k_dec = _decoder_start_state(
+        params, cfg, seq, imgs, sent_input, seq_input, encoder_skip, rng,
+        deterministic,
+    )
+    return decode_teacher_forced_nll(
         params, cfg, state, seq, rng=k_dec, deterministic=deterministic
     )
 
 
 def loss_fn(params, cfg: AEConfig, seq, rng, **kwargs) -> jax.Array:
-    logprobs = apply(params, cfg, seq, rng=rng, deterministic=False, **kwargs)
-    loss, _ = sequence_nll(logprobs, seq)
+    loss, _ = apply_nll(params, cfg, seq, rng=rng, deterministic=False, **kwargs)
     return loss
 
 

@@ -48,18 +48,7 @@ def sequence_nll(logprobs: jax.Array, seq: jax.Array) -> Tuple[jax.Array, jax.Ar
     D = seq.shape[0]
     assert D == L - 1, "logprobs must have one more step than seq"
 
-    seq = seq.astype(jnp.int32)
-    # target at step t: seq[t] for t < D, else 0 (pad), AutoEncoder.lua:450-454
-    targets = jnp.concatenate([seq, jnp.zeros((1, N), jnp.int32)], axis=0)
-    # first null along time becomes the END token (last class), :456-459
-    is_null = targets == 0
-    # index of the first null per column (there is always one: we appended it)
-    first_null = jnp.argmax(is_null, axis=0)  # (N,)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (L, N), 0)
-    at_end = t_idx == first_null[None, :]
-    targets = jnp.where(at_end, Mp1, targets)
-    scored = targets != 0  # :462 — loss only where target is non-null
-
+    targets, scored = sequence_targets(seq, Mp1)
     # gather logprobs at target indices (targets are 1-indexed; class c is
     # stored at position c-1)
     gather_idx = jnp.clip(targets - 1, 0, Mp1 - 1)
@@ -67,3 +56,27 @@ def sequence_nll(logprobs: jax.Array, seq: jax.Array) -> Tuple[jax.Array, jax.Ar
     n = jnp.sum(scored)
     loss = -jnp.sum(jnp.where(scored, picked, 0.0)) / n.astype(logprobs.dtype)
     return loss, n
+
+
+def sequence_targets(seq: jax.Array, Mp1: int) -> Tuple[jax.Array, jax.Array]:
+    """Shifted targets + scored mask for the LanguageModelCriterion.
+
+    seq: (D, N) 1-indexed tokens, 0 = null suffix.  Returns
+    (targets (D+1, N) with END=Mp1 at each sequence's first null,
+     scored (D+1, N) bool).  Shared by :func:`sequence_nll` and the fused
+    in-scan decoder loss (models/seq/autoencoder.decode_teacher_forced_nll)
+    so both implement AutoEncoder.lua:450-462 identically.
+    """
+    D, N = seq.shape
+    seq = seq.astype(jnp.int32)
+    # target at step t: seq[t] for t < D, else 0 (pad), AutoEncoder.lua:450-454
+    targets = jnp.concatenate([seq, jnp.zeros((1, N), jnp.int32)], axis=0)
+    # first null along time becomes the END token (last class), :456-459
+    is_null = targets == 0
+    # index of the first null per column (there is always one: we appended it)
+    first_null = jnp.argmax(is_null, axis=0)  # (N,)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (D + 1, N), 0)
+    at_end = t_idx == first_null[None, :]
+    targets = jnp.where(at_end, Mp1, targets)
+    scored = targets != 0  # :462 — loss only where target is non-null
+    return targets, scored

@@ -161,10 +161,7 @@ def main(argv=None):
     @jax.jit
     def val_step(params, seq, imgs):
         kwargs = {"imgs": imgs} if needs_imgs else {}
-        logprobs = ae.apply(params, cfg, seq, deterministic=True, **kwargs)
-        from novel_vqa_tpu.ops import sequence_nll
-
-        return sequence_nll(logprobs, seq)[0]
+        return ae.apply_nll(params, cfg, seq, deterministic=True, **kwargs)[0]
 
     @jax.jit
     def sample_step(params, seq, imgs):

@@ -49,7 +49,7 @@ from novel_vqa_tpu.data.weakpaired import (
     random_crop_offsets,
 )
 from novel_vqa_tpu.models.seq import autoencoder as ae
-from novel_vqa_tpu.ops import l2_normalize, sequence_nll
+from novel_vqa_tpu.ops import l2_normalize
 from novel_vqa_tpu.ops import optim as ref_optim
 
 
@@ -283,17 +283,17 @@ def main(argv=None):
         print(f"resumed from {opt.resume} at iteration {start_iter}")
 
     def loss_from_feats(ae_params, feats, seq, sent_input, seq_input, skip, rng):
+        # fused decoder+criterion (ae.apply_nll): the (L+1, N, V+1) logprobs
+        # are never materialized
         if opt.variant == "vqa_arch":
-            lp = ae.apply(
+            return ae.apply_nll(
                 ae_params, cfg, seq, imgs=feats, sent_input=sent_input,
                 encoder_skip=skip, rng=rng, deterministic=False,
-            )
-        else:
-            lp = ae.apply(
-                ae_params, cfg, seq, imgs=feats, seq_input=seq_input,
-                rng=rng, deterministic=False,
-            )
-        return sequence_nll(lp, seq)[0]
+            )[0]
+        return ae.apply_nll(
+            ae_params, cfg, seq, imgs=feats, seq_input=seq_input,
+            rng=rng, deterministic=False,
+        )[0]
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
     def train_step(skip, finetune, ae_params, ae_opt_state, cnn_params,
@@ -330,16 +330,14 @@ def main(argv=None):
         images = prepro_wp_images(images_u8, offsets, opt.crop_size)
         feats = cnn_apply(cnn_params, images)
         if opt.variant == "vqa_arch":
-            lp = ae.apply(
+            return ae.apply_nll(
                 ae_params, cfg, seq, imgs=feats,
                 sent_input=jnp.zeros((seq.shape[1], 2 * cfg.rnn_size)),
                 encoder_skip=False, deterministic=True,
-            )
-        else:
-            lp = ae.apply(
-                ae_params, cfg, seq, imgs=feats, seq_input=seq, deterministic=True
-            )
-        return sequence_nll(lp, seq)[0]
+            )[0]
+        return ae.apply_nll(
+            ae_params, cfg, seq, imgs=feats, seq_input=seq, deterministic=True
+        )[0]
 
     np_rng = np.random.default_rng(opt.seed)
 

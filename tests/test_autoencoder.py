@@ -251,3 +251,66 @@ def test_text_ae_learns_identity():
         params, opt_state, loss = step(params, opt_state, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_apply_nll_matches_sequence_nll_all_variants():
+    """The fused in-scan decoder loss (apply_nll) must equal
+    sequence_nll(apply(...)) — same rng, every variant, training mode —
+    and produce matching gradients (it replaces the materialized
+    (L+1, N, V+1) logprobs path in all trainers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.ops import sequence_nll
+
+    rs = np.random.RandomState(0)
+    L, N, V = 6, 10, 25
+    seq_np = np.zeros((L, N), np.int32)
+    for i in range(N):
+        ln = rs.randint(1, L + 1)
+        seq_np[:ln, i] = rs.randint(1, V + 1, size=ln)
+    seq = jnp.asarray(seq_np)
+
+    for variant, kwargs in (
+        ("text_nostart", {}),
+        ("arch2", {"imgs": jnp.asarray(rs.randn(N, 12).astype(np.float32))}),
+        ("null", {
+            "imgs": jnp.asarray(rs.randn(N, 12).astype(np.float32)),
+            "seq_input": jnp.asarray(np.where(rs.rand(L, N) < 0.5, seq_np, 0)),
+        }),
+        ("vqa_arch", {
+            "imgs": jnp.asarray(rs.randn(N, 16).astype(np.float32)),
+            "sent_input": jnp.zeros((N, 2 * 14), jnp.float32),
+        }),
+    ):
+        cfg = ae.AEConfig(
+            vocab_size=V, input_encoding_size=12, rnn_size=14, num_layers=1,
+            seq_length=L, variant=variant, nhimage=16 if variant == "vqa_arch" else 0,
+        )
+        params = ae.init_params(jax.random.PRNGKey(3), cfg)
+        rng = jax.random.PRNGKey(4)
+
+        lp = ae.apply(params, cfg, seq, rng=rng, deterministic=False, **kwargs)
+        ref_loss, ref_n = sequence_nll(lp, seq)
+        loss, n = ae.apply_nll(params, cfg, seq, rng=rng, deterministic=False, **kwargs)
+        assert int(n) == int(ref_n), variant
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5, err_msg=variant)
+
+        def f_ref(p):
+            return sequence_nll(
+                ae.apply(p, cfg, seq, rng=rng, deterministic=False, **kwargs), seq
+            )[0]
+
+        def f_fused(p):
+            return ae.apply_nll(p, cfg, seq, rng=rng, deterministic=False, **kwargs)[0]
+
+        g_ref = jax.grad(f_ref)(params)
+        g_fused = jax.grad(f_fused)(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_fused)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6, err_msg=variant
+            )
