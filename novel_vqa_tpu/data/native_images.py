@@ -45,8 +45,11 @@ def _try_build() -> None:
 def get_lib():
     global _lib, _load_failed
     if _lib is None and not _load_failed:
-        if not os.path.exists(_LIB_PATH):
-            _try_build()
+        # build unconditionally: make is mtime-based (a fresh .so is a no-op)
+        # and a STALE .so built from an older imagepipe.cpp would silently
+        # lack newer entry points (e.g. imagepipe_decode_batch2, which
+        # fast_decode needs — it would quietly degrade to the full-res path)
+        _try_build()
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.imagepipe_decode_resize.argtypes = [
@@ -122,6 +125,16 @@ def decode_batch_native(
     out = np.empty((n, size, size, 3), np.uint8)
     status = np.empty((n,), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if fast_scale and not hasattr(lib, "imagepipe_decode_batch2"):
+        import warnings
+
+        warnings.warn(
+            "fast_scale requested but libimagepipe.so lacks "
+            "imagepipe_decode_batch2 (stale build?); falling back to the "
+            "full-resolution decode path — run `make -C native` to rebuild",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if fast_scale and hasattr(lib, "imagepipe_decode_batch2"):
         lib.imagepipe_decode_batch2(
             arr,

@@ -198,33 +198,11 @@ def eval_step(cfg: Arch1Config, params, tokens, image, labels):
 
 
 def make_dp_indexed_step(cfg: Arch1Config, tx: optax.GradientTransformation, mesh):
-    """Data-parallel variant of :func:`train_step_indexed`: params/opt_state/
-    data replicated, the sampled index vector sharded over the mesh's
-    ``data`` axis — each chip gathers and processes its batch shard, and the
-    gradient mean all-reduces over ICI via GSPMD."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Data-parallel :func:`train_step_indexed` (shared builder in
+    parallel/dp.py, parameterized by this model's ``loss_fn``)."""
+    from novel_vqa_tpu.parallel.dp import make_vqa_dp_indexed_step
 
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
-
-    def step(params, opt_state, data, qinds, rng):
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, cfg, tokens, image, labels, rng
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl, shard, repl),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
-    )
+    return make_vqa_dp_indexed_step(loss_fn, cfg, tx, mesh)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 5, 6), donate_argnums=(2, 3))
@@ -279,45 +257,11 @@ def make_dp_steps_scan(
     batch_size: int,
     donate: bool = True,
 ):
-    """Data-parallel variant of :func:`train_steps_scan` — the steady-state
-    production path on a mesh.  Params/opt_state/data replicated; each step's
-    on-device sampled index vector is sharding-constrained over the ``data``
-    axis, so the gather + fwd/bwd run batch-sharded per chip and the gradient
-    mean all-reduces over ICI via GSPMD, with zero per-step host work."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Data-parallel :func:`train_steps_scan` — the steady-state production
+    path on a mesh (shared builder in parallel/dp.py)."""
+    from novel_vqa_tpu.parallel.dp import make_vqa_dp_steps_scan
 
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
-
-    def steps(params, opt_state, data, rng):
-        n = data["tokens"].shape[0]
-
-        def body(carry, step_rng):
-            params, opt_state = carry
-            k_sample, k_drop = jax.random.split(step_rng)
-            qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
-            qinds = jax.lax.with_sharding_constraint(qinds, shard)
-            tokens = jnp.take(data["tokens"], qinds, axis=0)
-            labels = jnp.take(data["answers"], qinds, axis=0)
-            iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-            image = jnp.take(data["image"], iminds, axis=0)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cfg, tokens, image, labels, k_drop
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        step_rngs = jax.random.split(rng, n_steps)
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
-        return params, opt_state, losses
-
-    return jax.jit(
-        steps,
-        in_shardings=(repl, repl, repl, repl),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1) if donate else (),
-    )
+    return make_vqa_dp_steps_scan(loss_fn, cfg, tx, mesh, n_steps, batch_size, donate)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))

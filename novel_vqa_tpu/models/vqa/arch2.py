@@ -179,42 +179,16 @@ def train_steps_scan(cfg, tx, params, opt_state, data, n_steps: int, batch_size:
 
 
 def make_dp_steps_scan(cfg, tx, mesh, n_steps: int, batch_size: int, donate: bool = True):
-    """Data-parallel multi-step scan trainer — arch2's counterpart of
-    arch1.make_dp_steps_scan: params/opt_state/data replicated, the sampled
-    index vector sharding-constrained over the ``data`` axis so the gather +
-    fwd/bwd run batch-sharded per chip with the gradient mean psum'd over
-    ICI via GSPMD."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    """Data-parallel multi-step scan trainer (shared builder in
+    parallel/dp.py, parameterized by this model's ``loss_fn``)."""
+    from novel_vqa_tpu.parallel.dp import make_vqa_dp_steps_scan
 
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P("data"))
+    return make_vqa_dp_steps_scan(loss_fn, cfg, tx, mesh, n_steps, batch_size, donate)
 
-    def steps(params, opt_state, data, rng):
-        n = data["tokens"].shape[0]
 
-        def body(carry, step_rng):
-            params, opt_state = carry
-            k_sample, k_drop = jax.random.split(step_rng)
-            qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
-            qinds = jax.lax.with_sharding_constraint(qinds, shard)
-            tokens = jnp.take(data["tokens"], qinds, axis=0)
-            labels = jnp.take(data["answers"], qinds, axis=0)
-            iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-            image = jnp.take(data["image"], iminds, axis=0)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cfg, tokens, image, labels, k_drop
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+def make_dp_indexed_step(cfg, tx, mesh):
+    """Data-parallel :func:`train_step_indexed` (shared builder in
+    parallel/dp.py) — qinds sharded, grads psum over ICI."""
+    from novel_vqa_tpu.parallel.dp import make_vqa_dp_indexed_step
 
-        step_rngs = jax.random.split(rng, n_steps)
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
-        return params, opt_state, losses
-
-    return jax.jit(
-        steps,
-        in_shardings=(repl, repl, repl, repl),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1) if donate else (),
-    )
+    return make_vqa_dp_indexed_step(loss_fn, cfg, tx, mesh)

@@ -1,0 +1,106 @@
+"""Shared data-parallel step builders for the VQA trainers.
+
+arch1 and arch2 need byte-for-byte the same DP machinery — the models differ
+only in the ``loss_fn`` each closes over — so the builders live here once and
+the model modules delegate (keeping their public ``make_dp_*`` API).  The
+sharding recipe is the SURVEY section 2.8 plan: params / optimizer state /
+HBM-resident dataset replicated over a 1-D ``"data"`` mesh, the per-step
+sampled index vector sharding-constrained over the mesh so the batch gather
+and fwd/bwd run per-chip, and the gradient mean all-reduces over ICI via
+GSPMD — no hand-written collectives (the reference has no distributed code
+at all: 002_train_vqa_arch1/002_train_baseline.lua:57-63 selects one GPU).
+
+``loss_fn`` contract: ``loss_fn(params, cfg, tokens, image, labels, rng) ->
+scalar mean loss`` (both ``arch1.loss_fn`` and ``arch2.loss_fn`` match).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _gather_batch(data, qinds):
+    """HBM-resident batch gather (002_train_baseline.lua:195-222 inverted:
+    the dataset lives on device, only indices move)."""
+    tokens = jnp.take(data["tokens"], qinds, axis=0)
+    labels = jnp.take(data["answers"], qinds, axis=0)
+    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
+    image = jnp.take(data["image"], iminds, axis=0)
+    return tokens, image, labels
+
+
+def make_vqa_dp_indexed_step(
+    loss_fn: Callable, cfg, tx: optax.GradientTransformation, mesh: Mesh
+):
+    """One DP training step over host-sampled indices: params/opt_state/data
+    replicated, the (B,) index vector sharded over ``data`` — each chip
+    gathers and processes its batch shard, and the gradient mean all-reduces
+    over ICI via GSPMD."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, data, qinds, rng):
+        tokens, image, labels = _gather_batch(data, qinds)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, tokens, image, labels, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, shard, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_vqa_dp_steps_scan(
+    loss_fn: Callable,
+    cfg,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    n_steps: int,
+    batch_size: int,
+    donate: bool = True,
+):
+    """``n_steps`` DP training iterations in ONE dispatch — the steady-state
+    production path on a mesh.  Each step's on-device sampled index vector is
+    sharding-constrained over ``data``, so the gather + fwd/bwd run
+    batch-sharded per chip with zero per-step host work; the gradient mean
+    psums over ICI."""
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+
+    def steps(params, opt_state, data, rng):
+        n = data["tokens"].shape[0]
+
+        def body(carry, step_rng):
+            params, opt_state = carry
+            k_sample, k_drop = jax.random.split(step_rng)
+            qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
+            qinds = jax.lax.with_sharding_constraint(qinds, shard)
+            tokens, image, labels = _gather_batch(data, qinds)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cfg, tokens, image, labels, k_drop
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        step_rngs = jax.random.split(rng, n_steps)
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
+        return params, opt_state, losses
+
+    return jax.jit(
+        steps,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )

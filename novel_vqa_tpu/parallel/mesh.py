@@ -86,14 +86,20 @@ def make_dp_train_step(
     mesh: Mesh,
     loss_fn: Callable,
     donate: bool = True,
+    batch_specs: Optional[Sequence[P]] = None,
 ):
     """Build a jitted DP train step for any ``loss_fn(params, cfg, *batch, rng)``.
 
-    params/opt_state replicated, batch arrays sharded on the leading axis; the
-    mean-loss gradient all-reduce rides ICI via GSPMD.
+    params/opt_state replicated; batch arrays sharded per ``batch_specs``
+    (default: three arrays sharded on the leading axis — the VQA
+    tokens/image/labels layout; time-major sequence batches pass e.g.
+    ``P(None, "data")``).  The mean-loss gradient all-reduce rides ICI via
+    GSPMD.
     """
     repl = replicated(mesh)
-    data = batch_sharded(mesh)
+    if batch_specs is None:
+        batch_specs = (P("data"),) * 3
+    data = tuple(NamedSharding(mesh, s) for s in batch_specs)
 
     def step(params, opt_state, rng, *batch):
         loss, grads = jax.value_and_grad(loss_fn)(params, cfg, *batch, rng)
@@ -103,7 +109,7 @@ def make_dp_train_step(
 
     return jax.jit(
         step,
-        in_shardings=(repl, repl, repl) + (data,) * 3,
+        in_shardings=(repl, repl, repl) + data,
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1) if donate else (),
     )

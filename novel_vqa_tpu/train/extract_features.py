@@ -147,6 +147,15 @@ def build_model(
         from novel_vqa_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    elif mesh is not None and batch_size % mesh.devices.size != 0:
+        # an explicitly requested mesh must not be silently discarded — the
+        # caller asked for sharded extraction and would otherwise get an
+        # unsharded (slower) forward with no indication
+        raise ValueError(
+            f"batch_size {batch_size} is not divisible by the requested "
+            f"mesh's {mesh.devices.size} devices; pick a divisible batch "
+            "size or pass mesh=None for single-device extraction"
+        )
     if mesh is not None and batch_size % mesh.devices.size == 0:
         from novel_vqa_tpu.parallel import batch_sharded, replicated
 
@@ -169,11 +178,53 @@ def build_model(
     return functools.partial(forward, jax.device_put(params)), size, crop, ndims
 
 
-def main(argv=None):
+def run_pipelined_extraction(
+    models, paths, batch_size: int, decode_workers: int,
+    fast_decode: bool = False, feats: "np.ndarray" = None,
+):
+    """The production extraction loop: software-pipelined dispatch where
+    batch i+1 is decoded (thread pool) and dispatched while batch i's
+    features transfer back, so host decode, device compute, and
+    device->host copy overlap (the reference serializes all three,
+    SURVEY.md section 3.3 / 001_prepro_img_vgg.lua:101-113).
+
+    ``models`` is a list of ``build_model`` results.  Every batch's features
+    are fetched to host (np.asarray), so the returned wall time measures the
+    complete end-to-end pipeline — this is the *measured* sustained rate
+    (bench.py reports it next to the modeled min(decode, device) figure).
+
+    Returns ``(feats (N, sum_dims) float32, wall_seconds)``.
+    """
     import jax.numpy as jnp
 
     from novel_vqa_tpu.data.images import DecodePool
 
+    total_dims = sum(m[3] for m in models)
+    if feats is None:
+        feats = np.empty((len(paths), total_dims), np.float32)
+    t0 = time.perf_counter()
+    col = 0
+    for forward, size, crop, ndims in models:
+        pool = DecodePool(size, crop, workers=decode_workers,
+                          fast_decode=fast_decode)
+        row = 0
+        pending = None  # (device_result, row, real)
+        for u8, missing, real in pool.iter_batches(paths, batch_size):
+            dev = forward(jnp.asarray(u8), jnp.asarray(missing))
+            if pending is not None:
+                pf, prow, preal = pending
+                feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
+            pending = (dev, row, real)
+            row += real
+        if pending is not None:
+            pf, prow, preal = pending
+            feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
+        pool.close()
+        col += ndims
+    return feats, time.perf_counter() - t0
+
+
+def main(argv=None):
     opt = parse_config(ExtractConfig, argv, description=__doc__)
     with open(opt.input_json) as f:
         meta = json.load(f)
@@ -200,32 +251,10 @@ def main(argv=None):
                 paths = paths[: opt.limit]
             if not paths:
                 continue
-            total_dims = sum(m[3] for m in models)
-            feats = np.empty((len(paths), total_dims), np.float32)
-            t0 = time.perf_counter()
-            col = 0
-            for forward, size, crop, ndims in models:
-                pool = DecodePool(size, crop, workers=opt.decode_workers,
-                                  fast_decode=bool(opt.fast_decode))
-                row = 0
-                # software-pipelined dispatch: batch i+1 is decoded (pool)
-                # and dispatched while batch i's features transfer back, so
-                # host decode, device compute, and device->host copy overlap
-                # (the reference serializes all three, SURVEY.md section 3.3)
-                pending = None  # (device_result, row, real)
-                for u8, missing, real in pool.iter_batches(paths, opt.batch_size):
-                    dev = forward(jnp.asarray(u8), jnp.asarray(missing))
-                    if pending is not None:
-                        pf, prow, preal = pending
-                        feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
-                    pending = (dev, row, real)
-                    row += real
-                if pending is not None:
-                    pf, prow, preal = pending
-                    feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
-                pool.close()
-                col += ndims
-            dt = time.perf_counter() - t0
+            feats, dt = run_pipelined_extraction(
+                models, paths, opt.batch_size, opt.decode_workers,
+                fast_decode=bool(opt.fast_decode),
+            )
             print(
                 f"processed {len(paths)} {split} images in {dt:.1f}s "
                 f"({len(paths)/dt:.1f} images/sec)"

@@ -206,6 +206,11 @@ def caffemodel_to_npz(
             convs.append(l)
         else:
             linears.append(l)
+    if arch == "auto":
+        # real autodetection from the parsed conv count (13 -> VGG-16,
+        # 16 -> VGG-19); anything else falls through to the mismatch error
+        arch = {13: "vgg16", 16: "vgg19"}.get(len(convs), "vgg16")
+        print(f"auto-detected arch: {arch} ({len(convs)} conv layers)")
     expected = {"vgg16": 13, "vgg19": 16}.get(arch)
     if expected is not None and len(convs) != expected:
         raise ValueError(
@@ -251,9 +256,8 @@ def main(argv=None):
         "and needs no swap)",
     )
     args = ap.parse_args(argv)
-    arch = args.arch if args.arch != "auto" else "vgg16"
     caffemodel_to_npz(
-        args.caffemodel, args.out, arch=arch, bgr_to_rgb=bool(args.bgr_to_rgb)
+        args.caffemodel, args.out, arch=args.arch, bgr_to_rgb=bool(args.bgr_to_rgb)
     )
 
 

@@ -25,7 +25,6 @@ from the sequential-with-wrap corpus loader.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import os
 
@@ -79,6 +78,11 @@ class AETrainConfig:
     # iterations per dispatch (exact DataLoader iterator semantics, including
     # the head re-read on wrap); 1 = per-step host h5 reads
     steps_per_dispatch: int = 1
+    # 1 = data-parallel over all attached chips (batch sharded over the mesh,
+    # grads psum over ICI); requires batch_size % n_devices == 0.  Composes
+    # with both dispatch modes: per-step (host batch sharded) and
+    # steps_per_dispatch > 1 (the DP scan, make_steps_scan(mesh=...))
+    data_parallel: int = 0
 
 
 def make_tx(opt: AETrainConfig) -> optax.GradientTransformation:
@@ -104,6 +108,83 @@ def make_tx(opt: AETrainConfig) -> optax.GradientTransformation:
         ref_optim.add_decayed_weights(opt.weight_decay),
         inner,
     )
+
+
+def make_steps_scan(
+    cfg: "ae.AEConfig",
+    tx: optax.GradientTransformation,
+    n_steps: int,
+    batch_size: int,
+    mesh=None,
+    donate: bool = True,
+):
+    """``n_steps`` text-AE training iterations in ONE dispatch via
+    ``lax.scan``, over an HBM-resident corpus passed as a RUNTIME argument
+    (closing over a large device array would bake it into the HLO as a
+    literal — the remote-compile path rejects such programs).
+
+    The scan carries the sequential-with-wrap iterator offset, reproducing
+    the reference DataLoader's exact batch windows including the head
+    re-read on wrap (misc/DataLoader.lua:58-88).
+
+    With ``mesh`` the step is data-parallel: params/opt_state/corpus
+    replicated, each step's index window sharding-constrained over the
+    ``data`` axis so the row gather + fwd/bwd run batch-sharded per chip and
+    the gradient mean all-reduces over ICI via GSPMD — the DP path for the
+    75k-iteration pretraining workload
+    (001_train_arch1_text_autoencoder.lua:208-249).
+
+    Returns a jitted ``(params, opt_state, train_rows, offset, rng) ->
+    (params, opt_state, offset, losses)``.
+    """
+    needs_imgs = cfg.variant == "arch2"
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+
+    def steps(params, opt_state, train_rows, offset, rng):
+        n_rows = train_rows.shape[0]
+
+        def body(carry, step_rng):
+            params, opt_state, offset = carry
+            base = jnp.where(offset < n_rows - 1, offset, 0)
+            idx = base + jnp.arange(batch_size)
+            idx = jnp.where(idx < n_rows, idx, idx - n_rows)
+            if mesh is not None:
+                idx = jax.lax.with_sharding_constraint(idx, shard)
+            seq = jnp.take(train_rows, idx, axis=0).T  # (L, bs)
+            kwargs = (
+                {"imgs": jnp.zeros((batch_size, cfg.input_encoding_size), jnp.float32)}
+                if needs_imgs
+                else {}
+            )
+            loss, grads = jax.value_and_grad(ae.loss_fn)(
+                params, cfg, seq, step_rng, **kwargs
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            offset = jnp.where(
+                offset + batch_size > n_rows, 0, offset + batch_size
+            )
+            return (params, opt_state, offset), loss
+
+        step_rngs = jax.random.split(rng, n_steps)
+        (params, opt_state, offset), losses = jax.lax.scan(
+            body, (params, opt_state, offset), step_rngs
+        )
+        return params, opt_state, offset, losses
+
+    donate_args = (0, 1) if donate else ()
+    if mesh is not None:
+        return jax.jit(
+            steps,
+            in_shardings=(repl,) * 5,
+            out_shardings=(repl,) * 4,
+            donate_argnums=donate_args,
+        )
+    return jax.jit(steps, donate_argnums=donate_args)
 
 
 def decode_sequence(ix_to_word, seq: np.ndarray):
@@ -211,41 +292,56 @@ def main(argv=None):
         return loss_sum / max(1, loss_evals), lang_stats
 
     chunk = max(1, opt.steps_per_dispatch)
-    if chunk > 1:
-        # whole train split HBM-resident; scan implements the sequential
-        # iterator with the reference's exact wrap semantics
-        # (misc/DataLoader.lua:58-88)
-        train_rows = jnp.asarray(
-            loader.h5["labels/train"][()].astype(np.int32)
-        )  # (N, L)
-        n_rows = train_rows.shape[0]
+    mesh = repl = None
+    dp_step = None
+    if opt.data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_steps_scan(params, opt_state, offset, rng):
-            def body(carry, step_rng):
-                params, opt_state, offset = carry
-                base = jnp.where(offset < n_rows - 1, offset, 0)
-                idx = base + jnp.arange(opt.batch_size)
-                idx = jnp.where(idx < n_rows, idx, idx - n_rows)
-                seq = jnp.take(train_rows, idx, axis=0).T  # (L, bs)
-                kwargs = {"imgs": zero_imgs} if needs_imgs else {}
-                loss, grads = jax.value_and_grad(ae.loss_fn)(
-                    params, cfg, seq, step_rng, **kwargs
-                )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                offset = jnp.where(
-                    offset + opt.batch_size > n_rows, 0, offset + opt.batch_size
-                )
-                return (params, opt_state, offset), loss
+        from novel_vqa_tpu.parallel import make_dp_train_step, make_mesh, replicated
 
-            step_rngs = jax.random.split(rng, chunk)
-            (params, opt_state, offset), losses = jax.lax.scan(
-                body, (params, opt_state, offset), step_rngs
+        mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        assert opt.batch_size % n_dev == 0, (
+            f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
+        )
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        if chunk == 1:
+            # per-step DP: the host-read batch is sharded over the mesh
+            # (seq is time-major, so the batch axis is axis 1)
+            if needs_imgs:
+                dp_loss = lambda params, cfg_, seq, imgs, rng: ae.loss_fn(
+                    params, cfg_, seq, rng, imgs=imgs
+                )
+                batch_specs = (P(None, "data"), P("data"))
+            else:
+                dp_loss = lambda params, cfg_, seq, rng: ae.loss_fn(
+                    params, cfg_, seq, rng
+                )
+                batch_specs = (P(None, "data"),)
+            dp_step = make_dp_train_step(
+                cfg, tx, mesh, dp_loss, batch_specs=batch_specs
             )
-            return params, opt_state, offset, losses
-
+            seq_sharding = NamedSharding(mesh, P(None, "data"))
+            dp_zero_imgs = jax.device_put(
+                np.zeros((opt.batch_size, cfg.input_encoding_size), np.float32),
+                NamedSharding(mesh, P("data")),
+            )
+    if chunk > 1:
+        # whole train split HBM-resident (as a runtime jit argument; replicated
+        # over the mesh under --data_parallel); the scan implements the
+        # sequential iterator with the reference's exact wrap semantics
+        # (misc/DataLoader.lua:58-88)
+        train_rows_h = loader.h5["labels/train"][()].astype(np.int32)  # (N, L)
+        train_rows = (
+            jax.device_put(train_rows_h, repl) if repl is not None
+            else jnp.asarray(train_rows_h)
+        )
+        train_steps_scan = make_steps_scan(cfg, tx, chunk, opt.batch_size, mesh=mesh)
         scan_offset = jnp.asarray(0, jnp.int32)
+        if repl is not None:
+            scan_offset = jax.device_put(scan_offset, repl)
 
     rng = jax.random.PRNGKey(opt.seed)
     loss0 = None
@@ -264,11 +360,22 @@ def main(argv=None):
     while True:
         rng, sub = jax.random.split(rng)
         if chunk > 1:
+            if repl is not None:
+                sub = jax.device_put(sub, repl)
             params, opt_state, scan_offset, losses = train_steps_scan(
-                params, opt_state, scan_offset, sub
+                params, opt_state, train_rows, scan_offset, sub
             )
             loss = losses[-1]
             it += chunk - 1  # the loop tail below adds the final 1
+        elif dp_step is not None:
+            labels, _ = loader.get_batch("train", opt.batch_size)
+            seq = jax.device_put(np.ascontiguousarray(labels), seq_sharding)
+            batch = (seq,)
+            if needs_imgs:
+                batch += (dp_zero_imgs,)
+            params, opt_state, loss = dp_step(
+                params, opt_state, jax.device_put(sub, repl), *batch
+            )
         else:
             labels, _ = loader.get_batch("train", opt.batch_size)
             params, opt_state, loss = train_step(

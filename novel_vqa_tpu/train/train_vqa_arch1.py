@@ -82,8 +82,9 @@ class TrainConfig:
     # on-device batch sampling (arch1.train_steps_scan) — the steady-state
     # production path; 1 keeps host-side sampling (exact data.rng stream)
     steps_per_dispatch: int = 1
-    # 1 = data-parallel step over all attached chips (batch sharded, grads
-    # psum over ICI); requires batch_size % n_devices == 0
+    # 1 = data-parallel over all attached chips (batch sharded, grads psum
+    # over ICI); requires batch_size % n_devices == 0.  Composes with
+    # --steps_per_dispatch > 1 (the DP multi-step scan, arch1.make_dp_steps_scan)
     data_parallel: int = 0
     profile_dir: str = ""  # jax.profiler trace output dir ('' = off)
     debug_nans: int = 0  # enable jax_debug_nans for fault localization
@@ -235,12 +236,8 @@ def main(argv=None):
                 meta={"cfg": cfg._asdict(), "iter": it},
             )
 
-    dp_step = None
+    dp_step = dp_scan = repl = None
     if opt.data_parallel:
-        assert opt.steps_per_dispatch <= 1, (
-            "--data_parallel composes with the per-step path; "
-            "use steps_per_dispatch 1"
-        )
         from novel_vqa_tpu.parallel import make_mesh, replicated
 
         mesh = make_mesh()
@@ -248,7 +245,14 @@ def main(argv=None):
         assert opt.batch_size % n_dev == 0, (
             f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
         )
-        dp_step = arch1.make_dp_indexed_step(cfg, tx, mesh)
+        if opt.steps_per_dispatch > 1:
+            # the steady-state production path: N iterations per dispatch,
+            # on-device sampling, batch sharded over the mesh, grads psum
+            dp_scan = arch1.make_dp_steps_scan(
+                cfg, tx, mesh, opt.steps_per_dispatch, opt.batch_size
+            )
+        else:
+            dp_step = arch1.make_dp_indexed_step(cfg, tx, mesh)
         repl = replicated(mesh)
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
@@ -289,10 +293,20 @@ def main(argv=None):
             it += 1
         else:
             n_steps = min(chunk, opt.max_iters - it)
-            params, opt_state, losses = arch1.train_steps_scan(
-                cfg, tx, params, opt_state, dev_data, n_steps, opt.batch_size,
-                step_rng,
-            )
+            if dp_scan is not None:
+                scan = dp_scan
+                if n_steps != chunk:  # shorter tail chunk: fresh jit
+                    scan = arch1.make_dp_steps_scan(
+                        cfg, tx, mesh, n_steps, opt.batch_size
+                    )
+                params, opt_state, losses = scan(
+                    params, opt_state, dev_data, jax.device_put(step_rng, repl)
+                )
+            else:
+                params, opt_state, losses = arch1.train_steps_scan(
+                    cfg, tx, params, opt_state, dev_data, n_steps, opt.batch_size,
+                    step_rng,
+                )
             pending_losses.append(losses)
             it += n_steps
         # defer the device sync: collect loss handles and fold them into the

@@ -70,6 +70,10 @@ class TrainConfig:
     # >1 runs that many iterations per dispatch via lax.scan with on-device
     # batch sampling (arch2.train_steps_scan)
     steps_per_dispatch: int = 1
+    # 1 = data-parallel over all attached chips (batch sharded, grads psum
+    # over ICI); requires batch_size % n_devices == 0.  Composes with
+    # --steps_per_dispatch > 1 (the DP multi-step scan, arch2.make_dp_steps_scan)
+    data_parallel: int = 0
 
 
 def build_params(opt: TrainConfig, cfg: arch2.Arch2Config):
@@ -169,6 +173,29 @@ def main(argv=None):
             meta={"cfg": cfg._asdict(), "opt": dataclasses.asdict(opt)},
         )
 
+    dp_step = dp_scan = repl = mesh = None
+    if opt.data_parallel:
+        from novel_vqa_tpu.parallel import make_mesh, replicated
+
+        mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        assert opt.batch_size % n_dev == 0, (
+            f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
+        )
+        if opt.steps_per_dispatch > 1:
+            dp_scan = arch2.make_dp_steps_scan(
+                cfg, tx, mesh, opt.steps_per_dispatch, opt.batch_size
+            )
+        else:
+            dp_step = arch2.make_dp_indexed_step(cfg, tx, mesh)
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        dev_data = jax.device_put(dev_data, repl)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        qind_sharding = NamedSharding(mesh, P("data"))
+
     chunk = max(1, opt.steps_per_dispatch)
     it = 0
 
@@ -189,17 +216,33 @@ def main(argv=None):
             qinds = jnp.asarray(
                 data.rng.integers(0, n_train, opt.batch_size), jnp.int32
             )
-            params, opt_state, loss = arch2.train_step_indexed(
-                cfg, tx, params, opt_state, dev_data, qinds, step_rng
-            )
+            if dp_step is not None:
+                qinds = jax.device_put(qinds, qind_sharding)
+                params, opt_state, loss = dp_step(
+                    params, opt_state, dev_data, qinds, step_rng
+                )
+            else:
+                params, opt_state, loss = arch2.train_step_indexed(
+                    cfg, tx, params, opt_state, dev_data, qinds, step_rng
+                )
             pending.append(loss)
             it += 1
         else:
             n_steps = min(chunk, opt.max_iters - it)
-            params, opt_state, losses = arch2.train_steps_scan(
-                cfg, tx, params, opt_state, dev_data, n_steps, opt.batch_size,
-                step_rng,
-            )
+            if dp_scan is not None:
+                scan = dp_scan
+                if n_steps != chunk:  # shorter tail chunk: fresh jit
+                    scan = arch2.make_dp_steps_scan(
+                        cfg, tx, mesh, n_steps, opt.batch_size
+                    )
+                params, opt_state, losses = scan(
+                    params, opt_state, dev_data, jax.device_put(step_rng, repl)
+                )
+            else:
+                params, opt_state, losses = arch2.train_steps_scan(
+                    cfg, tx, params, opt_state, dev_data, n_steps, opt.batch_size,
+                    step_rng,
+                )
             pending.append(losses)
             it += n_steps
         if it % opt.log_every < chunk:

@@ -63,7 +63,11 @@ class WPTrainConfig:
     start_from_text: str = ""
     # full-state resume (both params + BOTH optimizer states + iteration;
     # the finetune gate phase is a function of the restored iteration) from
-    # a train_state .npz written by --save_train_state
+    # a train_state .npz written by --save_train_state.  RNG streams are
+    # CONTINUED, not replayed: the restored iteration is folded into the
+    # batch-sampling / crop / coin-flip / dropout seeds (exact stream
+    # positions are not checkpointed; i.i.d. sampling makes this equivalent
+    # in distribution)
     resume: str = ""
     save_train_state: int = 0
     cnn_arch: str = "vgg16"  # vgg16 | inception
@@ -104,6 +108,10 @@ class WPTrainConfig:
     debug_nans: int = 0
     image_size: int = 256  # stored image side; cropped to crop_size
     crop_size: int = 224
+    # 1 = data-parallel over all attached chips: the image+sequence batch is
+    # sharded over the mesh and the gradient means for BOTH nets (CNN and AE)
+    # psum over ICI; requires batch_size % n_devices == 0
+    data_parallel: int = 0
 
 
 def build_cnn(opt: WPTrainConfig, with_projection: bool, rng):
@@ -191,6 +199,93 @@ def make_cnn_tx(opt: WPTrainConfig):
             ref_optim.clamp(opt.grad_clip),
         ] + chain
     return optax.chain(*chain)
+
+
+def make_train_step(
+    cfg: "ae.AEConfig",
+    variant: str,
+    crop_size: int,
+    cnn_apply,
+    ae_tx: optax.GradientTransformation,
+    cnn_tx: optax.GradientTransformation,
+    mesh=None,
+):
+    """Build the fused weak-paired train step: device-side crop/normalize ->
+    CNN fwd -> AE fwd/bwd -> BOTH optimizer updates as one jitted program,
+    specialised per (skip, finetune) phase (the reference's finetune gate is
+    a host-level phase change, 004_train_arch1_weakpaired_autoencoder_vgg.lua:329-331;
+    separate CNN optimizer :477-487).
+
+    With ``mesh`` the step is data-parallel — the joint CNN+AE training is
+    the heaviest compute in the pipeline (VGG fwd+bwd inside the loop, :317)
+    and shards cleanly over the batch: both param trees + both optimizer
+    states replicated, the image/sequence batch sharded over ``data`` (seq
+    and seq_input are time-major, so their batch axis is axis 1), and the
+    gradient means for BOTH nets all-reduce over ICI via GSPMD.
+
+    Returns ``step(skip, finetune, ae_params, ae_opt_state, cnn_params,
+    cnn_opt_state, images_u8, offsets, seq, sent_input, seq_input, rng)``.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P("data"))
+        tm = NamedSharding(mesh, P(None, "data"))  # time-major (L, N)
+        in_sh = (repl, repl, repl, repl, row, row, tm, row, tm, repl)
+        out_sh = (repl,) * 5
+
+    def loss_from_feats(ae_params, feats, seq, sent_input, seq_input, skip, rng):
+        # fused decoder+criterion (ae.apply_nll): the (L+1, N, V+1) logprobs
+        # are never materialized
+        if variant == "vqa_arch":
+            return ae.apply_nll(
+                ae_params, cfg, seq, imgs=feats, sent_input=sent_input,
+                encoder_skip=skip, rng=rng, deterministic=False,
+            )[0]
+        return ae.apply_nll(
+            ae_params, cfg, seq, imgs=feats, seq_input=seq_input,
+            rng=rng, deterministic=False,
+        )[0]
+
+    @functools.lru_cache(maxsize=None)
+    def specialise(skip: bool, finetune: bool):
+        def step(ae_params, ae_opt_state, cnn_params, cnn_opt_state,
+                 images_u8, offsets, seq, sent_input, seq_input, rng):
+            images = prepro_wp_images(images_u8, offsets, crop_size)
+
+            def full_loss(ae_params, cnn_params):
+                feats = cnn_apply(cnn_params, images)
+                return loss_from_feats(
+                    ae_params, feats, seq, sent_input, seq_input, skip, rng
+                )
+
+            if finetune:
+                loss, (ae_grads, cnn_grads) = jax.value_and_grad(
+                    full_loss, argnums=(0, 1)
+                )(ae_params, cnn_params)
+                cnn_updates, cnn_opt_state2 = cnn_tx.update(
+                    cnn_grads, cnn_opt_state, cnn_params
+                )
+                cnn_params = optax.apply_updates(cnn_params, cnn_updates)
+                cnn_opt_state = cnn_opt_state2
+            else:
+                feats = jax.lax.stop_gradient(cnn_apply(cnn_params, images))
+                loss, ae_grads = jax.value_and_grad(loss_from_feats)(
+                    ae_params, feats, seq, sent_input, seq_input, skip, rng
+                )
+            ae_updates, ae_opt_state = ae_tx.update(ae_grads, ae_opt_state, ae_params)
+            ae_params = optax.apply_updates(ae_params, ae_updates)
+            return ae_params, ae_opt_state, cnn_params, cnn_opt_state, loss
+
+        if mesh is not None:
+            return jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
+        return jax.jit(step)
+
+    def step_fn(skip, finetune, *args):
+        return specialise(bool(skip), bool(finetune))(*args)
+
+    return step_fn
 
 
 def main(argv=None):
@@ -281,49 +376,35 @@ def main(argv=None):
         cnn_opt_state = jax.tree_util.tree_map(jnp.asarray, restored["cnn_opt"])
         start_iter = int(meta_d.get("iter", 0)) + 1
         print(f"resumed from {opt.resume} at iteration {start_iter}")
+        # continue the RNG streams rather than replaying them from iteration
+        # 0: fold the restored iteration into the three seed sources (batch
+        # sampling / crop offsets / coin flips are i.i.d., so this preserves
+        # the training distribution while making a resumed run draw fresh
+        # randomness instead of the prefix an uninterrupted run already used)
+        random.seed(opt.seed + start_iter)
 
-    def loss_from_feats(ae_params, feats, seq, sent_input, seq_input, skip, rng):
-        # fused decoder+criterion (ae.apply_nll): the (L+1, N, V+1) logprobs
-        # are never materialized
-        if opt.variant == "vqa_arch":
-            return ae.apply_nll(
-                ae_params, cfg, seq, imgs=feats, sent_input=sent_input,
-                encoder_skip=skip, rng=rng, deterministic=False,
-            )[0]
-        return ae.apply_nll(
-            ae_params, cfg, seq, imgs=feats, seq_input=seq_input,
-            rng=rng, deterministic=False,
-        )[0]
+    mesh = repl = None
+    if opt.data_parallel:
+        from novel_vqa_tpu.parallel import make_mesh, replicated
 
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def train_step(skip, finetune, ae_params, ae_opt_state, cnn_params,
-                   cnn_opt_state, images_u8, offsets, seq, sent_input,
-                   seq_input, rng):
-        images = prepro_wp_images(images_u8, offsets, opt.crop_size)
+        mesh = make_mesh()
+        n_dev = int(mesh.devices.size)
+        assert opt.batch_size % n_dev == 0, (
+            f"batch_size {opt.batch_size} not divisible by {n_dev} devices"
+        )
+        repl = replicated(mesh)
+        ae_params = jax.device_put(ae_params, repl)
+        cnn_params = jax.device_put(cnn_params, repl)
+        ae_opt_state = jax.device_put(ae_opt_state, repl)
+        cnn_opt_state = jax.device_put(cnn_opt_state, repl)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def full_loss(ae_params, cnn_params):
-            feats = cnn_apply(cnn_params, images)
-            return loss_from_feats(
-                ae_params, feats, seq, sent_input, seq_input, skip, rng
-            )
+        row_sharding = NamedSharding(mesh, P("data"))
+        tm_sharding = NamedSharding(mesh, P(None, "data"))
 
-        if finetune:
-            loss, (ae_grads, cnn_grads) = jax.value_and_grad(full_loss, argnums=(0, 1))(
-                ae_params, cnn_params
-            )
-            cnn_updates, cnn_opt_state2 = cnn_tx.update(
-                cnn_grads, cnn_opt_state, cnn_params
-            )
-            cnn_params = optax.apply_updates(cnn_params, cnn_updates)
-            cnn_opt_state = cnn_opt_state2
-        else:
-            feats = jax.lax.stop_gradient(cnn_apply(cnn_params, images))
-            loss, ae_grads = jax.value_and_grad(loss_from_feats)(
-                ae_params, feats, seq, sent_input, seq_input, skip, rng
-            )
-        ae_updates, ae_opt_state = ae_tx.update(ae_grads, ae_opt_state, ae_params)
-        ae_params = optax.apply_updates(ae_params, ae_updates)
-        return ae_params, ae_opt_state, cnn_params, cnn_opt_state, loss
+    train_step = make_train_step(
+        cfg, opt.variant, opt.crop_size, cnn_apply, ae_tx, cnn_tx, mesh=mesh
+    )
 
     @jax.jit
     def val_step(ae_params, cnn_params, images_u8, offsets, seq):
@@ -339,7 +420,7 @@ def main(argv=None):
             ae_params, cfg, seq, imgs=feats, seq_input=seq, deterministic=True
         )[0]
 
-    np_rng = np.random.default_rng(opt.seed)
+    np_rng = np.random.default_rng(opt.seed + start_iter)
 
     def eval_split(split):
         loader.reset_iterator(split)
@@ -357,7 +438,7 @@ def main(argv=None):
                 break
         return loss_sum / max(1, n_evals)
 
-    rng = jax.random.PRNGKey(opt.seed + 1)
+    rng = jax.random.fold_in(jax.random.PRNGKey(opt.seed + 1), start_iter)
     it = start_iter
     loss0, best_score = None, None
     loss_history, val_loss_history = {}, {}
@@ -386,10 +467,23 @@ def main(argv=None):
                 seq_input = np.zeros_like(labels)
 
         finetune = 0 <= opt.finetune_cnn_after <= it
+        if mesh is not None:
+            batch = (
+                jax.device_put(np.asarray(images), row_sharding),
+                jax.device_put(np.asarray(offsets), row_sharding),
+                jax.device_put(np.asarray(labels), tm_sharding),
+                jax.device_put(np.asarray(sent_input), row_sharding),
+                jax.device_put(np.asarray(seq_input), tm_sharding),
+                jax.device_put(sub, repl),
+            )
+        else:
+            batch = (
+                jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(labels),
+                jnp.asarray(sent_input), jnp.asarray(seq_input), sub,
+            )
         ae_params, ae_opt_state, cnn_params, cnn_opt_state, loss = train_step(
             skip, finetune, ae_params, ae_opt_state, cnn_params, cnn_opt_state,
-            jnp.asarray(images), jnp.asarray(offsets), jnp.asarray(labels),
-            jnp.asarray(sent_input), jnp.asarray(seq_input), sub,
+            *batch,
         )
 
         if opt.losses_log_every > 0 and it % opt.losses_log_every == 0:

@@ -240,3 +240,37 @@ def test_arch2_cli_steps_per_dispatch(vqa_files, tmp_path):
         ]
     )
     assert os.path.exists(ckpt_dir + "lstm.h5")
+
+def test_arch2_cli_data_parallel(vqa_files, tmp_path):
+    """--data_parallel wiring: per-step DP (dp indexed step) and the DP
+    multi-step scan, on the virtual 8-device mesh."""
+    from novel_vqa_tpu.train import train_vqa_arch2
+
+    d = vqa_files
+    common = [
+        "--input_img_h5", d["img_h5"],
+        "--input_ques_h5", d["ques_h5"],
+        "--input_json", d["meta"],
+        "--batch_size", "16",
+        "--save_checkpoint_every", "20",
+        "--nhimage", "8",
+        "--input_encoding_size", "12",
+        "--rnn_size", "16",
+        "--num_output", "5",
+        "--log_every", "10",
+        "--data_parallel", "1",
+    ]
+    ckpt1 = str(tmp_path / "dp_step") + "/"
+    train_vqa_arch2.main(
+        common + ["--checkpoint_path", ckpt1, "--max_iters", "6"]
+    )
+    assert os.path.exists(ckpt1 + "lstm.h5")
+    ckpt2 = str(tmp_path / "dp_scan") + "/"
+    train_vqa_arch2.main(
+        common + [
+            "--checkpoint_path", ckpt2,
+            "--max_iters", "13",  # 2 full chunks + a shorter tail chunk
+            "--steps_per_dispatch", "5",
+        ]
+    )
+    assert os.path.exists(ckpt2 + "lstm.h5")

@@ -215,3 +215,27 @@ def test_parsed_weights_drive_the_jax_vgg(tmp_path):
     out = vgg.apply(params, cfg, jnp.asarray(x), tap="fc7")
     ref = vgg.apply(template, cfg, jnp.asarray(x), tap="fc7")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_arch_auto_detects_from_conv_count(tmp_path):
+    """--arch auto infers vgg16/vgg19 from the parsed conv count instead of
+    hard-mapping to vgg16 (a VGG-19 model must not hit the 13-conv error)."""
+    rs = np.random.RandomState(3)
+    net, conv_ws, _, _, _ = _synthetic_vgg(rs)
+    path = tmp_path / "net16.caffemodel"
+    path.write_bytes(net)
+    flat = ic.caffemodel_to_npz(str(path), str(tmp_path / "o16.npz"), arch="auto")
+    assert sum(1 for k in flat if k.startswith("conv/") and k.endswith("/w")) == 13
+
+    # a 16-conv (VGG-19-shaped) net through auto: must NOT raise
+    net19 = _ld(1, b"VGG19_synthetic")
+    for idx in range(16):
+        w = rs.randn(2, 2 if idx else 3, 3, 3).astype(np.float32)
+        net19 += _ld(2, _v1_layer(f"conv{idx}", [w, rs.randn(2).astype(np.float32)]))
+    for idx, (o, i) in enumerate([(20, 50), (20, 20), (10, 20)]):
+        w4 = rs.randn(o, i).astype(np.float32).reshape(1, 1, o, i)
+        net19 += _ld(2, _v1_layer(f"fc{6+idx}", [w4, rs.randn(o).astype(np.float32)]))
+    p19 = tmp_path / "net19.caffemodel"
+    p19.write_bytes(net19)
+    flat19 = ic.caffemodel_to_npz(str(p19), str(tmp_path / "o19.npz"), arch="auto")
+    assert sum(1 for k in flat19 if k.startswith("conv/") and k.endswith("/w")) == 16

@@ -191,3 +191,185 @@ def test_graft_entry_contract():
     assert out.shape == (128, 1000)
 
     ge.dryrun_multichip(8)
+
+
+def test_text_ae_dp_scan_matches_single_device():
+    """The text-AE DP multi-step scan (replicated corpus, index window
+    sharding-constrained, grads psum) stays numerically close to the
+    single-device scan driven by the same RNG over 10 sequential-with-wrap
+    iterations — the DP path for the 75k-iteration pretraining workload
+    (001_train_arch1_text_autoencoder.lua:208-249)."""
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.train.train_text_ae import make_steps_scan
+    from novel_vqa_tpu.ops import optim as ref_optim
+    import optax
+
+    cfg = ae.AEConfig(
+        vocab_size=30, input_encoding_size=8, rnn_size=12, num_layers=1,
+        seq_length=5, variant="text_nostart",
+    )
+    tx = optax.chain(ref_optim.clamp(0.1), ref_optim.adam(1e-3, 0.8, 0.999, 1e-8))
+    params = ae.init_params(jax.random.PRNGKey(3), cfg)
+    opt_state = tx.init(params)
+
+    rs = np.random.RandomState(5)
+    n_rows, L, bs, n_steps = 37, 5, 16, 10
+    lengths = rs.randint(1, L + 1, size=n_rows)
+    rows = np.zeros((n_rows, L), np.int32)
+    for i, ln in enumerate(lengths):
+        rows[i, :ln] = rs.randint(1, cfg.vocab_size + 1, size=ln)
+    rng = jax.random.PRNGKey(11)
+    offset0 = jnp.asarray(0, jnp.int32)
+
+    single = make_steps_scan(cfg, tx, n_steps, bs, donate=False)
+    p1, o1, off1, losses1 = single(params, opt_state, jnp.asarray(rows), offset0, rng)
+
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+    dp = make_steps_scan(cfg, tx, n_steps, bs, mesh=mesh, donate=False)
+    p2, o2, off2, losses2 = dp(
+        jax.device_put(ae.init_params(jax.random.PRNGKey(3), cfg), repl),
+        jax.device_put(tx.init(ae.init_params(jax.random.PRNGKey(3), cfg)), repl),
+        jax.device_put(rows, repl),
+        jax.device_put(np.int32(0), repl),
+        jax.device_put(rng, repl),
+    )
+    assert int(off1) == int(off2)  # identical wrap-iterator positions
+    np.testing.assert_allclose(
+        np.asarray(losses1), np.asarray(losses2), rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+def test_text_ae_arch2_dp_scan_matches_single_device():
+    """Same for the arch2 AE variant (image slot at t=1 fed zeros)."""
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.train.train_text_ae import make_steps_scan
+    from novel_vqa_tpu.ops import optim as ref_optim
+    import optax
+
+    cfg = ae.AEConfig(
+        vocab_size=25, input_encoding_size=8, rnn_size=8, num_layers=1,
+        seq_length=4, variant="arch2",
+    )
+    tx = optax.chain(ref_optim.clamp(0.1), ref_optim.adam(1e-3, 0.8, 0.999, 1e-8))
+    params = ae.init_params(jax.random.PRNGKey(4), cfg)
+    opt_state = tx.init(params)
+
+    rs = np.random.RandomState(6)
+    n_rows, L, bs, n_steps = 29, 4, 8, 6
+    rows = rs.randint(1, cfg.vocab_size + 1, size=(n_rows, L)).astype(np.int32)
+    rng = jax.random.PRNGKey(13)
+
+    single = make_steps_scan(cfg, tx, n_steps, bs, donate=False)
+    p1, o1, off1, losses1 = single(
+        params, opt_state, jnp.asarray(rows), jnp.asarray(0, jnp.int32), rng
+    )
+
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+    dp = make_steps_scan(cfg, tx, n_steps, bs, mesh=mesh, donate=False)
+    p2, o2, off2, losses2 = dp(
+        jax.device_put(ae.init_params(jax.random.PRNGKey(4), cfg), repl),
+        jax.device_put(tx.init(ae.init_params(jax.random.PRNGKey(4), cfg)), repl),
+        jax.device_put(rows, repl),
+        jax.device_put(np.int32(0), repl),
+        jax.device_put(rng, repl),
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses1), np.asarray(losses2), rtol=2e-4, atol=2e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_weakpaired_dp_step_matches_single_device():
+    """The weak-paired joint CNN+AE DP step — the heaviest training workload
+    in the pipeline (VGG fwd+bwd in the loop,
+    004_train_arch1_weakpaired_autoencoder_vgg.lua:317,477-487) — matches the
+    single-device step through BOTH finetune-gate phases and the
+    encoder-skip branch."""
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.train.train_weakpaired_ae import (
+        WPTrainConfig,
+        build_cnn,
+        make_ae_tx,
+        make_cnn_tx,
+        make_train_step,
+    )
+
+    opt = WPTrainConfig(
+        batch_size=8, crop_size=32, image_size=40, variant="vqa_arch",
+        rnn_size=8, input_encoding_size=8, learning_rate=1e-3,
+        cnn_learning_rate=1e-3,
+    )
+    cfg = ae.AEConfig(
+        vocab_size=20, input_encoding_size=8, rnn_size=8, num_layers=1,
+        seq_length=4, variant="vqa_arch", nhimage=4096,
+    )
+    cnn_params, cnn_apply, feat_dim = build_cnn(opt, False, jax.random.PRNGKey(7))
+    assert feat_dim == 4096
+    ae_params = ae.init_params(jax.random.PRNGKey(8), cfg)
+    ae_tx, cnn_tx = make_ae_tx(opt), make_cnn_tx(opt)
+    ae_opt, cnn_opt = ae_tx.init(ae_params), cnn_tx.init(cnn_params)
+
+    rs = np.random.RandomState(9)
+    N, L, H = opt.batch_size, cfg.seq_length, cfg.rnn_size
+    images = rs.randint(0, 256, size=(N, 40, 40, 3)).astype(np.uint8)
+    offsets = rs.randint(0, 9, size=(N, 2)).astype(np.int32)
+    labels = rs.randint(1, cfg.vocab_size + 1, size=(L, N)).astype(np.int32)
+    sent_input = rs.randn(N, 2 * H).astype(np.float32)
+    seq_input = labels
+    rngs = [jax.random.PRNGKey(20 + i) for i in range(3)]
+    # phase schedule: pre-gate AE-only, encoder-skip batch, then finetune
+    phases = [(False, False), (True, False), (False, True)]
+
+    def run(step, put_batch, put_repl, aep, aeo, cnnp, cnno):
+        for (skip, finetune), r in zip(phases, rngs):
+            aep, aeo, cnnp, cnno, loss = step(
+                skip, finetune, aep, aeo, cnnp, cnno,
+                *put_batch(images, offsets, labels, sent_input, seq_input),
+                put_repl(r),
+            )
+        return aep, cnnp, loss
+
+    single = make_train_step(cfg, "vqa_arch", 32, cnn_apply, ae_tx, cnn_tx)
+    p1_ae, p1_cnn, loss1 = run(
+        single,
+        lambda *a: tuple(jnp.asarray(x) for x in a),
+        lambda r: r,
+        ae_params, ae_opt, cnn_params, cnn_opt,
+    )
+
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row = NamedSharding(mesh, P("data"))
+    tm = NamedSharding(mesh, P(None, "data"))
+    dp = make_train_step(cfg, "vqa_arch", 32, cnn_apply, ae_tx, cnn_tx, mesh=mesh)
+    p2_ae, p2_cnn, loss2 = run(
+        dp,
+        lambda im, off, lab, sent, seqi: (
+            jax.device_put(im, row), jax.device_put(off, row),
+            jax.device_put(lab, tm), jax.device_put(sent, row),
+            jax.device_put(seqi, tm),
+        ),
+        lambda r: jax.device_put(r, repl),
+        jax.device_put(ae_params, repl), jax.device_put(ae_opt, repl),
+        jax.device_put(cnn_params, repl), jax.device_put(cnn_opt, repl),
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1_ae), jax.tree_util.tree_leaves(p2_ae)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1_cnn), jax.tree_util.tree_leaves(p2_cnn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)

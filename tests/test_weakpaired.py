@@ -173,3 +173,36 @@ def test_wp_trainer_inception(tmp_path):
         ]
     )
     assert os.path.exists(os.path.join(ckpt, "model_id.npz"))
+
+
+@pytest.mark.slow
+def test_wp_trainer_cli_data_parallel(wp_files):
+    """--data_parallel wiring through the CLI: the joint CNN+AE step runs
+    batch-sharded on the virtual 8-device mesh, through the finetune gate."""
+    from novel_vqa_tpu.train import train_weakpaired_ae
+
+    ckpt = str(wp_files["tmp"] / "wp_dp")
+    os.makedirs(ckpt, exist_ok=True)
+    train_weakpaired_ae.main(
+        [
+            "--input_h5", wp_files["h5"],
+            "--input_json", wp_files["json"],
+            "--variant", "vqa_arch",
+            "--rnn_size", "12",
+            "--input_encoding_size", "16",
+            "--batch_size", "8",
+            "--max_iters", "4",
+            "--save_checkpoint_every", "3",
+            "--val_sentences_use", "10",
+            "--losses_log_every", "2",
+            "--checkpoint_path", ckpt,
+            "--image_size", "40",
+            "--crop_size", "32",
+            "--nhimage", "4096",
+            "--finetune_cnn_after", "2",
+            "--cnn_learning_rate", "1e-6",
+            "--lstm_average_path", wp_files["mean"],
+            "--data_parallel", "1",
+        ]
+    )
+    assert os.path.exists(os.path.join(ckpt, "model_id.npz"))
