@@ -7,7 +7,11 @@ novel_vqa_tpu/core/device_bench.py).
     (batch 500, 2x512 LSTM, fc7 late fusion, rmsprop);
   * secondary — VGG-16 fc7 extraction (images/sec/chip), workload
     /root/reference/002_train_vqa_arch1/001_prepro_img_vgg.lua:101-113,
-    including the host decode-pool rate so the host-bound risk is visible.
+    including the host decode-pool rate AND a *measured* sustained rate from
+    the real pipelined extraction loop (not just the min(stages) model);
+  * secondary — text-AE pretraining (sentences/sec/chip), workload
+    /root/reference/001_train_autoencoder/001_train_arch1_text_autoencoder.lua:148-249,
+    with a val-loss sanity figure.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "qa_pairs_per_sec", "vs_baseline": N,
@@ -145,6 +149,119 @@ def bench_train():
     return rec
 
 
+def bench_text_ae():
+    """Text-AE pretraining throughput (sentences/sec/chip) — BASELINE.md's
+    text-AE metric row, workload
+    /root/reference/001_train_autoencoder/001_train_arch1_text_autoencoder.lua:148-249
+    (arch1 nostart AE, bs 1000, 1x512, seq 16, V ~20k, adam)."""
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core import device_bench as db
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.train.train_text_ae import (
+        AETrainConfig,
+        make_steps_scan,
+        make_tx,
+    )
+
+    batch_size = int(os.environ.get("BENCH_AE_BATCH", 1000))
+    seq = int(os.environ.get("BENCH_AE_SEQ", 16))
+    vocab = int(os.environ.get("BENCH_AE_VOCAB", 20000))
+    scan_steps = int(os.environ.get("BENCH_AE_SCAN_STEPS", 25))
+    chunks = int(os.environ.get("BENCH_AE_CHUNKS", 4))
+
+    cfg = ae.AEConfig(
+        vocab_size=vocab, input_encoding_size=512, rnn_size=512, num_layers=1,
+        seq_length=seq, variant="text_nostart",
+    )
+    tx = make_tx(AETrainConfig())  # reference optimizer defaults (adam 1e-5)
+    params = ae.init_params(jax.random.PRNGKey(123), cfg)
+    opt_state = tx.init(params)
+
+    n_rows = int(os.environ.get("BENCH_AE_ROWS", 50_000))
+    rs = np.random.RandomState(0)
+    lengths = rs.randint(3, seq + 1, size=n_rows)
+    cols = np.arange(seq)[None, :]
+    rows = np.where(
+        cols < lengths[:, None], rs.randint(1, vocab + 1, size=(n_rows, seq)), 0
+    ).astype(np.int32)
+    train_rows = jnp.asarray(rows)
+
+    analytic = db.analytic_flops_text_ae_step(cfg, batch_size, seq)
+    cost_flops = None
+    try:
+        # a 1-step scan: cost_analysis counts the while body once, which for
+        # n_steps=1 IS the per-step figure (the multi-step program would
+        # undercount — CLAUDE.md trace caveats)
+        one = make_steps_scan(cfg, tx, 1, batch_size, donate=False)
+        cost = one.lower(
+            params, opt_state, train_rows, jnp.int32(0), jax.random.PRNGKey(0)
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        cost_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # diagnostics only
+        _log("text_ae: single-step cost_analysis unavailable:", repr(e))
+    _log(
+        f"text_ae: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
+        f"analytic={analytic:.3e}"
+    )
+    flops_per_step = (
+        cost_flops if (cost_flops and 0.5 < cost_flops / analytic < 3.0) else analytic
+    )
+
+    steps_fn = make_steps_scan(cfg, tx, scan_steps, batch_size)
+    warm_chunks = 1
+    step_rngs = jax.random.split(jax.random.PRNGKey(1), warm_chunks + chunks)
+    state = [params, opt_state, jnp.int32(0)]
+    it = iter(range(warm_chunks + chunks))
+
+    def chunk():
+        i = next(it)
+        state[0], state[1], state[2], losses = steps_fn(
+            state[0], state[1], train_rows, state[2], step_rngs[i]
+        )
+        return losses
+
+    for _ in range(warm_chunks):
+        out = chunk()
+    jax.device_get(out)  # force warmup completion before the traced window
+
+    timing = db.measure_device_time(chunk, chunks)
+    dev_s, n_mod = timing.module_seconds("jit_steps")
+    if dev_s is not None and n_mod != chunks:
+        _log(f"text_ae: WARNING trace captured {n_mod}/{chunks} chunk executions")
+        dev_s = dev_s * chunks / n_mod
+    rec = db.summarize(
+        flops_per_step=flops_per_step,
+        device_s=dev_s,
+        n_steps=chunks * scan_steps,
+        items_per_step=batch_size,
+        wall_s=timing.wall_s,
+        peak=db.peak_flops(),
+    )
+    # val-loss sanity: deterministic NLL on a held-out batch must be finite
+    # and near log(V+1) this early in training (random init, tiny lr)
+    val_seq = jnp.asarray(rows[:batch_size].T)
+    val_loss = float(
+        ae.apply_nll(state[0], cfg, val_seq, deterministic=True)[0]
+    )
+    rec.update(
+        {
+            "metric": "text_ae_train_throughput",
+            "unit": "sentences_per_sec",
+            "value": rec.get("items_per_sec"),
+            "batch_size": batch_size,
+            "val_loss": round(val_loss, 4),
+            "val_loss_sane": bool(
+                np.isfinite(val_loss) and val_loss < 2.0 * np.log(vocab + 1)
+            ),
+        }
+    )
+    return rec
+
+
 def _make_jpeg_corpus(root: str, n_files: int, w: int = 640, h: int = 480):
     """Write a small synthetic JPEG corpus (photo-like smooth noise, so decode
     cost is realistic) and return a path list of ``n_files`` entries cycling
@@ -168,21 +285,47 @@ def _make_jpeg_corpus(root: str, n_files: int, w: int = 640, h: int = 480):
     return [paths[i % distinct] for i in range(n_files)]
 
 
+def _fixed_synthetic_vgg16_weights() -> str:
+    """Write (once) a deterministic synthetic VGG-16 weight npz and return its
+    path — the bench loads FIXED weights through the real ``--weights`` path
+    instead of falling into build_model's random-init branch (which rightly
+    warns that features are meaningless for accuracy; for timing the values
+    are irrelevant but the artifact should be reproducible and warning-free)."""
+    w_path = "/tmp/nvqa_bench_vgg16_weights.npz"
+    if not os.path.exists(w_path):
+        import jax
+
+        from novel_vqa_tpu.core.checkpoint import save_npz
+        from novel_vqa_tpu.models.vision import vgg
+
+        cfg = vgg.VGGConfig(arch="vgg16", image_size=224)
+        params = jax.device_get(vgg.init_params(jax.random.PRNGKey(123), cfg))
+        save_npz(w_path, params)
+    return w_path
+
+
 def bench_fc7():
     import jax
     import jax.numpy as jnp
 
     from novel_vqa_tpu.core import device_bench as db
     from novel_vqa_tpu.data.images import DecodePool
-    from novel_vqa_tpu.train.extract_features import build_model
+    from novel_vqa_tpu.train.extract_features import (
+        build_model,
+        run_pipelined_extraction,
+    )
 
     batch = int(os.environ.get("BENCH_FC7_BATCH", 32))
-    n_images = int(os.environ.get("BENCH_FC7_IMAGES", 192))
+    # 640 = 20 traced batches of 32 (VERDICT round-2: 6 was thin statistics)
+    n_images = int(os.environ.get("BENCH_FC7_IMAGES", 640))
     n_images = max(batch, (n_images // batch) * batch)
     workers = int(os.environ.get("BENCH_FC7_WORKERS", 8))
 
     paths = _make_jpeg_corpus("/tmp/nvqa_bench_jpegs", n_images)
-    forward, size, crop, _ = build_model("vgg16", "", "fc7", 123, batch)
+    model = build_model(
+        "vgg16", _fixed_synthetic_vgg16_weights(), "fc7", 123, batch
+    )
+    forward, size, crop, _ = model
 
     # decode once up front: (a) measures the host decode-pool rate in
     # isolation, (b) lets the device loop run back-to-back batches so the
@@ -267,11 +410,26 @@ def bench_fc7():
             "decode_workers": workers,
         }
     )
-    # sustained end-to-end rate with decode/compute overlap = the slower stage
+    # modeled sustained rate (perfect decode/compute overlap = slower stage)
     if rec.get("items_per_sec"):
-        rec["sustained_images_per_sec"] = round(
+        rec["sustained_images_per_sec_modeled"] = round(
             min(rec["items_per_sec"], decode_rate), 2
         )
+    # MEASURED sustained rate: run the actual production pipelined loop
+    # (decode pool overlapped with device dispatch + result fetch) end to end
+    # over the same corpus and time the whole thing — every batch's features
+    # cross back to host, so wall time here is a complete-pipeline figure,
+    # not a device microbenchmark (VERDICT round-2 item 2).  NOTE: through
+    # the axon tunnel this wall time also pays per-dispatch link latency that
+    # a local host would not; the measured figure is therefore a LOWER bound
+    # on sustained throughput.
+    try:
+        _, pipe_wall = run_pipelined_extraction([model], paths, batch, workers)
+        rec["sustained_images_per_sec_measured"] = round(n_images / pipe_wall, 2)
+        rec["sustained_pipeline_wall_s"] = round(pipe_wall, 2)
+        rec["sustained_source"] = "measured_pipelined_loop"
+    except Exception as e:  # keep the device metric robust
+        _log("fc7: measured sustained pipeline failed:", repr(e))
     return rec
 
 
@@ -298,6 +456,16 @@ def main():
             secondary.append(fc7)
         except Exception as e:  # keep the primary metric robust
             _log("fc7 bench failed:", repr(e))
+    if os.environ.get("BENCH_SKIP_AE", "0") != "1":
+        try:
+            ae_rec = bench_text_ae()
+            if ae_rec.get("value") and base.get("torch_cpu_text_ae_sentences_per_sec"):
+                ae_rec["vs_baseline"] = round(
+                    ae_rec["value"] / base["torch_cpu_text_ae_sentences_per_sec"], 2
+                )
+            secondary.append(ae_rec)
+        except Exception as e:
+            _log("text_ae bench failed:", repr(e))
 
     out = {
         "metric": "vqa_arch1_train_throughput",

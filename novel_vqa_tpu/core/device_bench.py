@@ -45,6 +45,7 @@ __all__ = [
     "peak_flops",
     "summarize",
     "analytic_flops_arch1_step",
+    "analytic_flops_text_ae_step",
 ]
 
 
@@ -303,3 +304,28 @@ def analytic_flops_arch1_step(cfg, batch_size: int, seq_len: int) -> float:
     classifier = 2.0 * cfg.common_embedding_size * cfg.num_output
     fwd = (lstm + fusion + classifier) * batch_size
     return 3.0 * fwd  # bwd ~= 2x fwd
+
+
+def analytic_flops_text_ae_step(cfg, batch_size: int, seq_len: int) -> float:
+    """Analytic matmul FLOPs for ONE text-AE fwd+bwd+update train step
+    (workload /root/reference/001_train_autoencoder/001_train_arch1_text_autoencoder.lua:208-249).
+
+    Encoder: ``seq_len`` LSTM steps; decoder: ``seq_len + 1`` steps of gates
+    plus the dominant Linear(H, V+1) projection.  bwd ~= 2x fwd, plus one
+    extra decoder forward because the fused-NLL scan body is rematerialized
+    (``jax.checkpoint`` in models/seq/autoencoder.decode_teacher_forced_nll
+    recomputes each step's logits during the backward)."""
+    E, H = cfg.input_encoding_size, cfg.rnn_size
+    enc_tok = 0.0
+    for i in range(cfg.num_layers):
+        in_size = E if i == 0 else H
+        enc_tok += 2.0 * 4 * H * (in_size + H)
+    enc = enc_tok * seq_len
+    dec_tok = 0.0
+    for i in range(cfg.decoder_layers):
+        in_size = E if i == 0 else H
+        dec_tok += 2.0 * 4 * H * (in_size + H)
+    dec_tok += 2.0 * H * (cfg.vocab_size + 1)  # logits projection
+    dec = dec_tok * (seq_len + 1)
+    fwd = (enc + dec) * batch_size
+    return 3.0 * fwd + dec * batch_size  # + remat recompute of the decoder

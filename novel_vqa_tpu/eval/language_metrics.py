@@ -31,8 +31,17 @@ def _ngrams(tokens: Sequence[str], n: int) -> Counter:
 def corpus_bleu(
     candidates: List[List[str]], references: List[List[str]], max_n: int = 4
 ) -> Dict[str, float]:
-    """Corpus BLEU-1..max_n, single reference per candidate."""
+    """Corpus BLEU-1..max_n, single reference per candidate.
+
+    Exact coco-caption ``bleu_scorer.py`` semantics (validated against an
+    independently hand-executed oracle in tests/test_language_metrics_coco.py):
+    cumulative geometric mean of the smoothed precisions
+    ``(correct + tiny) / (guess + small)`` with tiny=1e-15 / small=1e-9, and
+    the brevity penalty ``exp(1 - 1/ratio)`` applied to every order when
+    ``ratio = (testlen + tiny) / (reflen + small) < 1`` (single reference =
+    the "closest" reference length)."""
     assert len(candidates) == len(references)
+    tiny, small = 1e-15, 1e-9  # bleu_scorer.py smoothing constants
     out = {}
     clipped = [0] * max_n
     total = [0] * max_n
@@ -44,14 +53,12 @@ def corpus_bleu(
             rg = _ngrams(ref, n)
             total[n - 1] += sum(cg.values())
             clipped[n - 1] += sum(min(c, rg[g]) for g, c in cg.items())
-    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(1, cand_len))
-    log_sum = 0.0
+    ratio = (cand_len + tiny) / (ref_len + small)
+    bp = 1.0 if ratio >= 1 else math.exp(1 - 1 / ratio)
+    prod = 1.0
     for n in range(1, max_n + 1):
-        p = clipped[n - 1] / total[n - 1] if total[n - 1] > 0 else 0.0
-        # smooth zero precisions like coco-caption's tiny-epsilon behavior
-        p = max(p, 1e-12)
-        log_sum += math.log(p)
-        out[f"Bleu_{n}"] = bp * math.exp(log_sum / n)
+        prod *= (clipped[n - 1] + tiny) / (total[n - 1] + small)
+        out[f"Bleu_{n}"] = bp * prod ** (1.0 / n)
     return out
 
 

@@ -54,6 +54,29 @@ def tokenize_regex(sentence: str) -> List[str]:
 
 
 _treebank = None
+_spacy_pipe = None
+
+
+def spacy_tokenize(sent: str) -> List[str]:
+    """The reference's optional spaCy unigram-paraphrase branch: tokens are
+    the pipeline's *norms* (``token.norm_`` — lowercased canonical forms,
+    e.g. "n't" -> "not"), 002_train_vqa_arch1/000_prepro_vqa.py:48-49; the
+    pipeline is built once per process (:212-214, ``spacy.en.English`` in the
+    py2-era API; the modern equivalent is a blank English pipeline, which
+    also supplies ``norm_``).  Requires spaCy at runtime — guarded import
+    with a clear error when absent (it is not in this image)."""
+    global _spacy_pipe
+    if _spacy_pipe is None:
+        try:
+            import spacy
+        except ImportError as e:
+            raise RuntimeError(
+                "token_method 'spacy' requires spaCy (not available "
+                "offline); use 'nltk' (arch1), 'treebank' (arch2), or "
+                "'regex'"
+            ) from e
+        _spacy_pipe = spacy.blank("en")
+    return [token.norm_ for token in _spacy_pipe(sent)]
 
 
 def word_tokenize(sent: str) -> List[str]:
@@ -77,10 +100,5 @@ def get_tokenizer(method: str):
     if method == "regex":
         return tokenize_regex
     if method == "spacy":
-        # the reference's optional spaCy unigram-paraphrase branch
-        # (000_prepro_vqa.py:48-49); spaCy is not in this image
-        raise RuntimeError(
-            "token_method 'spacy' requires spaCy (not available offline); "
-            "use 'nltk' (arch1), 'treebank' (arch2), or 'regex'"
-        )
+        return spacy_tokenize
     raise ValueError(method)

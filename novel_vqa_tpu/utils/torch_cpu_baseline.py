@@ -121,6 +121,95 @@ def measure(batch_size=500, iters=3, vocab=12782, seq=16, warmup=1, seed=0):
     return batch_size * iters / dt
 
 
+def measure_text_ae(batch_size=1000, iters=1, vocab=20000, seq=16, warmup=1, seed=0):
+    """Torch-CPU re-enactment of the text-AE training iteration
+    (001_train_autoencoder/001_train_arch1_text_autoencoder.lua:208-249 with
+    misc/AutoEncoder_text_nostart.lua): nostart encoder loop, teacher-forced
+    decoder loop with the Linear(H, V+1) -> LogSoftMax head
+    (misc/LSTM_decoder.lua:5-64), masked shifted-target NLL
+    (LanguageModelCriterion, misc/AutoEncoder.lua:437-474), full backward,
+    grad clamp 0.1 + weight decay, adam update."""
+    import torch
+
+    torch.manual_seed(seed)
+    E = H = 512
+
+    lookup = torch.nn.Embedding(vocab + 1, E)  # row 0 unused (1-indexed)
+    drop = torch.nn.Dropout(0.5)
+    enc = torch.nn.Module()
+    enc.i2h = torch.nn.Linear(E, 4 * H)
+    enc.h2h = torch.nn.Linear(H, 4 * H)
+    dec = torch.nn.Module()
+    dec.i2h = torch.nn.Linear(E, 4 * H)
+    dec.h2h = torch.nn.Linear(H, 4 * H)
+    proj = torch.nn.Linear(H, vocab + 1)
+    params = (
+        list(lookup.parameters()) + list(enc.parameters())
+        + list(dec.parameters()) + list(proj.parameters())
+    )
+    opt = torch.optim.Adam(params, lr=1e-5, betas=(0.8, 0.999), eps=1e-8)
+
+    rs = np.random.RandomState(seed)
+
+    def cell(c, h, x, mod):
+        gates = mod.i2h(x) + mod.h2h(h)
+        i, f, o, g = gates.chunk(4, dim=1)
+        c_new = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(g)
+        return c_new, torch.sigmoid(o) * torch.tanh(c_new)
+
+    def one_iter():
+        lengths = rs.randint(3, seq + 1, size=batch_size)
+        labels = np.zeros((seq, batch_size), np.int64)
+        for b, ln in enumerate(lengths):
+            labels[:ln, b] = rs.randint(1, vocab + 1, size=ln)
+        lab = torch.from_numpy(labels)
+        start = vocab + 1  # START == END == V+1 (1-indexed); row V in 0-index
+
+        def embed(tok):  # lookup -> Dropout -> Tanh (nostart lookup pipeline)
+            return torch.tanh(drop(lookup(torch.clamp(tok, 1, vocab + 1) - 1)))
+
+        opt.zero_grad()
+        c = h = torch.zeros(batch_size, H)
+        for t in range(seq):  # encoder: tokens only, nulls redirected to 1
+            c, h = cell(c, h, embed(torch.clamp(lab[t], min=1)), enc)
+        # decoder: START then teacher-forced tokens; masked NLL on the fly
+        dc, dh = c, h
+        prev = torch.full((batch_size,), start, dtype=torch.long)
+        loss = torch.zeros(())
+        n_scored = 0
+        for t in range(seq + 1):
+            dc, dh = cell(dc, dh, embed(prev), dec)
+            logp = torch.log_softmax(proj(drop(dh)), dim=1)
+            if t < seq:
+                target = lab[t]
+            else:
+                target = torch.zeros(batch_size, dtype=torch.long)
+            # first null becomes END (= V+1); later nulls are unscored
+            prev_tok = lab[t - 1] if t > 0 else torch.ones(batch_size, dtype=torch.long)
+            scored = (target > 0) | ((target == 0) & (prev_tok > 0))
+            tgt = torch.where(target > 0, target, torch.full_like(target, start))
+            picked = logp[torch.arange(batch_size), tgt - 1]
+            loss = loss - (picked * scored.float()).sum()
+            n_scored += int(scored.sum())
+            prev = torch.where(target > 0, target, torch.full_like(target, start))
+        loss = loss / max(1, n_scored)
+        loss.backward()
+        for p in params:
+            if p.grad is not None:
+                p.grad.clamp_(-0.1, 0.1)
+                p.grad.add_(p.data, alpha=1e-6)  # weight_decay 1e-6 (:237-243)
+        opt.step()
+        return float(loss)
+
+    for _ in range(warmup):
+        one_iter()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_iter()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 def build_torch_vgg(arch="vgg16", num_classes=1000, seed=0):
     """VGG in plain torch.nn (torchvision is not installed here) with the
     same topology as models/vision/vgg.py: 3x3 convs, 2x2 maxpools, fc6/7/8.

@@ -29,6 +29,41 @@ def test_word_tokenize_data_free():
     ]
 
 
+def test_spacy_tokenize_with_fake_pipeline(monkeypatch):
+    """The spaCy branch (000_prepro_vqa.py:48-49,212-214) is functional when
+    spaCy is importable: tokens are the pipeline's ``norm_`` values.  spaCy
+    itself is absent offline, so install a minimal fake module."""
+    import sys
+    import types
+
+    class _Tok:
+        def __init__(self, norm):
+            self.norm_ = norm
+
+    def blank(lang):
+        assert lang == "en"
+        return lambda s: [_Tok(w.lower()) for w in s.split()]
+
+    fake = types.ModuleType("spacy")
+    fake.blank = blank
+    monkeypatch.setitem(sys.modules, "spacy", fake)
+    monkeypatch.setattr(T, "_spacy_pipe", None)
+    tok = T.get_tokenizer("spacy")
+    assert tok("What IS this") == ["what", "is", "this"]
+    monkeypatch.setattr(T, "_spacy_pipe", None)
+
+
+def test_spacy_tokenize_clear_error_when_absent(monkeypatch):
+    import sys
+
+    monkeypatch.setattr(T, "_spacy_pipe", None)
+    monkeypatch.setitem(sys.modules, "spacy", None)  # force ImportError
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="requires spaCy"):
+        T.get_tokenizer("spacy")("hello there")
+
+
 def test_pluralize():
     assert pos.pluralize("cat") == "cats"
     assert pos.pluralize("box") == "boxes"
