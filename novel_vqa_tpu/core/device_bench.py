@@ -131,6 +131,50 @@ def parse_trace_events(trace: dict) -> TraceSummary:
     return TraceSummary(modules=modules, device_plane=plane)
 
 
+def parse_trace_ops(trace_dir: str) -> Dict[str, Dict[str, ModuleStat]]:
+    """Op-level device spans, grouped by device thread name.
+
+    Besides "XLA Modules" (whole-program executions), TPU traces carry
+    per-op threads (e.g. "XLA Ops", "XLA TraceMe", "Steps") whose X events
+    name individual HLO ops with device-measured durations — the data needed
+    to attribute a step's time to gathers/scatters/matmuls/copies.
+    Returns ``{thread_name: {op_name: ModuleStat}}`` for every thread on a
+    ``/device:`` process."""
+    files: List[str] = []
+    for p in (
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz"),
+        os.path.join(trace_dir, "**", "*.trace.json.gz"),
+    ):
+        files = sorted(glob.glob(p, recursive=True), key=os.path.getmtime)
+        if files:
+            break
+    if not files:
+        return {}
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pid_names: Dict[int, str] = {}
+    tid_names: Dict[Tuple[int, int], str] = {}
+    for e in events:
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+        elif e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e.get("args", {}).get("name", "")
+    device_pids = {p for p, n in pid_names.items() if n.startswith("/device:")}
+    out: Dict[str, Dict[str, ModuleStat]] = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        tname = tid_names.get((e["pid"], e["tid"]), f"tid{e['tid']}")
+        ops = out.setdefault(tname, {})
+        st = ops.setdefault(e["name"], ModuleStat(name=e["name"]))
+        st.count += 1
+        st.total_us += float(e.get("dur", 0.0))
+    return out
+
+
 def parse_trace_dir(trace_dir: str) -> TraceSummary:
     """Find the newest ``*.trace.json.gz`` under ``trace_dir`` and parse it.
 

@@ -69,19 +69,29 @@ def lstm_step(
     x: jax.Array,
     c: jax.Array,
     h: jax.Array,
+    training: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One fused-gate LSTM step. x: (N, in); c, h: (N, H). Returns (c', h').
 
-    On TPU this routes through the fused Pallas kernel by DEFAULT
-    (ops/pallas_lstm.py — same math, single on-chip pass): trace-derived
-    device time on a v5e measures the arch1 train step at 3.25 ms/step
-    with the Pallas cell vs 3.73 ms with the XLA cell (batch 500, 2x512,
-    T=16 — 15% faster, 30.1% vs 26.2% MFU).  Set ``NOVEL_VQA_PALLAS=0``
-    to force the plain XLA path."""
+    TPU routing policy (all figures trace device time on a v5e, batch 500,
+    2x512, T=16 — the A/B record lives in docs/PERF.md):
+      * ``training=False`` (eval/sampling): the fused Pallas kernel
+        (ops/pallas_lstm.py — same math, single on-chip pass);
+      * ``training=True``: the plain XLA cell.  The Pallas cell's round-2
+        win (3.25 vs 3.73 ms/step) predated the rbg dropout masks; with
+        those landed the picture inverts — 2.29 ms/step (41.6% MFU) with
+        the XLA cell vs 2.60 with the Pallas cell, because the custom-VJP
+        pallas_call boundary blocks XLA from fusing the backward chain
+        across the step while the saved-residual copies add per-op
+        dispatch overhead to an already overhead-bound program.
+    ``NOVEL_VQA_PALLAS=0`` forces XLA everywhere; ``NOVEL_VQA_PALLAS=all``
+    forces the Pallas cell in training too (the A/B knob)."""
     import os
 
+    pallas_env = os.environ.get("NOVEL_VQA_PALLAS", "1")
     if (
-        os.environ.get("NOVEL_VQA_PALLAS", "1") != "0"
+        pallas_env != "0"
+        and (not training or pallas_env == "all")
         and jax.default_backend() == "tpu"
         and c.shape[-1] % 128 == 0  # lane-aligned H; tiny models stay on XLA
     ):
@@ -125,7 +135,9 @@ def lstm_stack_step(
             if dropout_rate > 0.0 and not deterministic:
                 rng, sub = jax.random.split(rng)
                 inp = dropout(sub, inp, dropout_rate, deterministic=False)
-        c_l, h_l = lstm_step(layer, inp, c[layer_idx], h[layer_idx])
+        c_l, h_l = lstm_step(
+            layer, inp, c[layer_idx], h[layer_idx], training=not deterministic
+        )
         new_c.append(c_l)
         new_h.append(h_l)
         inp = h_l
@@ -206,12 +218,16 @@ def lstm_encode(
             from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
 
             return pallas_lstm_encode(params, xs, mask)
-        # training stays on the (unrolled) per-step scan with the fused
-        # Pallas cell: the per-layer seq-kernel route with the restructured
-        # backward measured SLOWER (3.36 vs 3.01 ms/step on the v5e) — the
-        # saved gate intermediates (~65 MB/layer/step of HBM traffic) cost
-        # more than the big-matmul backward saves.  pallas_lstm_encode_train
-        # remains available for configs where that trade flips.
+        if os.environ.get("NOVEL_VQA_SEQ_TRAIN", "0") == "1":
+            # per-layer full-sequence kernels + hand-structured backward
+            # (weight grads as single big matmuls) — A/B route; the per-step
+            # path measured 3.01 vs 3.36 ms/step before rbg dropout masks,
+            # re-evaluated per round (see docs/PERF.md)
+            from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode_train
+
+            return pallas_lstm_encode_train(params, xs, mask, dropout_rate, rng)
+        # training defaults to the (unrolled) per-step scan with the fused
+        # Pallas cell; see the A/B record in docs/PERF.md.
 
     if init_state is None:
         zeros = jnp.zeros((num_layers, batch, rnn_size), xs.dtype)
@@ -245,8 +261,13 @@ def lstm_encode(
     # fully unroll short time loops: at T=16 the unrolled program lets XLA
     # software-pipeline across timesteps, measured 3.01 vs 3.31 ms/train-step
     # on the v5e (device time, batch 500) — ~9%; keep the rolled loop for
-    # long sequences (compile-size) and under remat (defeats the purpose)
-    unroll = seq_len if (seq_len <= 16 and not remat) else 1
+    # long sequences (compile-size) and under remat (defeats the purpose).
+    # NOVEL_VQA_UNROLL overrides for A/B runs ("0"/"1" = rolled, N = factor).
+    unroll_env = os.environ.get("NOVEL_VQA_UNROLL", "")
+    if unroll_env:
+        unroll = max(1, min(seq_len, int(unroll_env)))
+    else:
+        unroll = seq_len if (seq_len <= 16 and not remat) else 1
     final_state, seq_states = jax.lax.scan(
         body, init_state, (xs, mask, step_rngs), unroll=unroll
     )
