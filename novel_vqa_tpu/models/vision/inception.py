@@ -55,6 +55,43 @@ def _cbr(p, x, stride=(1, 1), padding="SAME"):
     return jnp.maximum(batch_norm(p["bn"], y), 0.0)
 
 
+def _stem_conv_s2d(p, x):
+    """The first stem conv (3x3, stride 2, VALID, C_in=3) via 2x2
+    space-to-depth — the standard TPU fix for pathological C_in=3 convs.
+
+    MEASURED AND REJECTED (docs/PERF.md round-3 Inception record): device
+    time regressed 8.66 -> 9.21 ms/batch-32 fp32 (6.78 -> 7.34 bf16) on the
+    v5e — XLA's native handling of the C_in=3 conv is already fine here and
+    the extra pad/reshape/transpose traffic costs more than it saves.  Kept
+    (with its equivalence test) as the documented A/B path, not routed.
+
+    Exact same math: pad the kernel 3->4 and the input 299->300 with zeros,
+    then a 4x4/stride-2 conv over the padded input equals a 2x2/stride-1 conv
+    over the 2x2 space-to-depth rearrangement with 4*3=12 input channels —
+    no approximation, only a reassociation of the contraction.  The weight is
+    STORED in its reference (3,3,3,32) framing (importers unchanged); the
+    rearrangement is traced and constant-folded per compile.
+    """
+    w = p["conv"]["w"]  # (3, 3, 3, c_out)
+    x = x.astype(w.dtype)
+    n, h, ww_, c = x.shape
+    hp, wp = h + h % 2, ww_ + ww_ % 2  # pad to even (299 -> 300)
+    xp = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - ww_), (0, 0)))
+    # (N, hp/2, 2, wp/2, 2, C) -> (N, hp/2, wp/2, (ri, rj, C))
+    xs = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+    # kernel (kh=2a+ri, kw=2b+rj, C, O) -> (a, b, (ri, rj, C), O)
+    w4 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w2 = w4.reshape(2, 2, 2, 2, c, -1).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(2, 2, 4 * c, -1)
+    y = jax.lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(batch_norm(p["bn"], y), 0.0)
+
+
 class _KeyGen:
     def __init__(self, rng):
         self.rng = rng

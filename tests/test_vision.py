@@ -38,6 +38,24 @@ def test_inception_shapes():
     assert feat.shape == (1, 2048)
 
 
+def test_inception_s2d_stem_equals_plain_conv():
+    """The space-to-depth first stem conv (TPU fix for the C_in=3 conv —
+    models/vision/inception._stem_conv_s2d) is an exact reassociation of the
+    plain 3x3/stride-2 VALID conv: same outputs to float precision, with
+    randomized BN stats and a non-even input size (299)."""
+    rs = np.random.RandomState(0)
+    p = inception._cbr_init(jax.random.PRNGKey(0), 3, 3, 3, 32)
+    p["bn"] = {
+        k: jnp.asarray(rs.rand(32).astype(np.float32) + (0.5 if k == "var" else 0.0))
+        for k in p["bn"]
+    }
+    x = jnp.asarray(rs.randn(2, 299, 299, 3).astype(np.float32))
+    plain = inception._cbr(p, x, stride=(2, 2), padding="VALID")
+    s2d = inception._stem_conv_s2d(p, x)
+    assert s2d.shape == plain.shape == (2, 149, 149, 32)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain), atol=2e-5)
+
+
 def test_vgg_device_prepro_math():
     u8 = np.zeros((1, 2, 2, 3), np.uint8)
     u8[..., 0] = 200  # R
