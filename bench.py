@@ -11,7 +11,10 @@ novel_vqa_tpu/core/device_bench.py).
     the real pipelined extraction loop (not just the min(stages) model);
   * secondary — text-AE pretraining (sentences/sec/chip), workload
     /root/reference/001_train_autoencoder/001_train_arch1_text_autoencoder.lua:148-249,
-    with a val-loss sanity figure.
+    with a val-loss sanity figure;
+  * secondary — weak-paired joint CNN+AE training (images/sec, finetune
+    phase: VGG-16 fwd+bwd + both optimizers in one step), workload
+    /root/reference/001_train_autoencoder/004_train_arch1_weakpaired_autoencoder_vgg.lua:317,477-487.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "qa_pairs_per_sec", "vs_baseline": N,
@@ -52,7 +55,10 @@ def bench_train():
     iters = int(os.environ.get("BENCH_ITERS", 100))
     warmup = int(os.environ.get("BENCH_WARMUP", 25))
 
-    cfg = arch1.Arch1Config(vocab_size=12782)
+    cfg = arch1.Arch1Config(
+        vocab_size=12782,
+        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+    )
     rng = jax.random.PRNGKey(123)
     params = arch1.init_params(rng, cfg)
     tx = arch1.make_optimizer()
@@ -262,6 +268,128 @@ def bench_text_ae():
     return rec
 
 
+def bench_weakpaired():
+    """Weak-paired joint CNN+AE training (the heaviest compute in the
+    pipeline: VGG-16 fwd+bwd inside the loop), workload
+    /root/reference/001_train_autoencoder/004_train_arch1_weakpaired_autoencoder_vgg.lua:317,477-487
+    — finetune phase (gradients through the CNN into its own optimizer),
+    non-skip batches, reference batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core import device_bench as db
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.train.train_weakpaired_ae import (
+        WPTrainConfig,
+        build_cnn,
+        make_ae_tx,
+        make_cnn_tx,
+        make_train_step,
+    )
+
+    batch = int(os.environ.get("BENCH_WP_BATCH", 16))
+    steps = int(os.environ.get("BENCH_WP_STEPS", 12))
+    vocab = int(os.environ.get("BENCH_WP_VOCAB", 20000))
+    seq_len = 16
+
+    opt = WPTrainConfig(batch_size=batch)
+    cfg = ae.AEConfig(
+        vocab_size=vocab, input_encoding_size=opt.input_encoding_size,
+        rnn_size=opt.rnn_size, num_layers=opt.num_layers, seq_length=seq_len,
+        dropout=opt.drop_prob_ae, variant="vqa_arch", nhimage=opt.nhimage,
+    )
+    rng0 = jax.random.PRNGKey(123)
+    ae_params = ae.init_params(rng0, cfg)
+    # vqa_arch uses build_cnn_2 (no projection, net_utils.lua:46-81)
+    cnn_params, cnn_apply, _ = build_cnn(opt, False, jax.random.fold_in(rng0, 7))
+    ae_tx, cnn_tx = make_ae_tx(opt), make_cnn_tx(opt)
+    ae_opt_state = ae_tx.init(ae_params)
+    cnn_opt_state = cnn_tx.init(cnn_params)
+    step_fn = make_train_step(cfg, "vqa_arch", opt.crop_size, cnn_apply, ae_tx, cnn_tx)
+
+    rs = np.random.RandomState(0)
+    images_u8 = jnp.asarray(
+        rs.randint(0, 256, size=(batch, opt.image_size, opt.image_size, 3), dtype=np.uint8)
+    )
+    offsets = jnp.asarray(
+        rs.randint(0, opt.image_size - opt.crop_size + 1, size=(batch, 2)), jnp.int32
+    )
+    lengths = rs.randint(3, seq_len + 1, size=batch)
+    rows = np.where(
+        np.arange(seq_len)[:, None] < lengths[None, :],
+        rs.randint(1, vocab + 1, size=(seq_len, batch)), 0,
+    ).astype(np.int32)
+    seq = jnp.asarray(rows)  # time-major (L, N)
+    sent_input = jnp.zeros((batch, 2 * cfg.rnn_size), jnp.float32)
+    step_rngs = jax.random.split(jax.random.PRNGKey(1), steps + 1)
+    state = [ae_params, ae_opt_state, cnn_params, cnn_opt_state]
+
+    def one_step(k):
+        out = step_fn(
+            False, True, state[0], state[1], state[2], state[3],
+            images_u8, offsets, seq, sent_input, None, k,
+        )
+        state[0], state[1], state[2], state[3] = out[:4]
+        return out[4]
+
+    loss = one_step(step_rngs[-1])  # compile + warm (finetune specialisation)
+    jax.device_get(loss)
+
+    # FLOPs from the compiled step; the AE's encode/decode lax.scans
+    # under-report (loop body counted once — CLAUDE.md caveat) but the VGG
+    # fwd+bwd dominates by ~2 orders of magnitude, so cross-check against the
+    # analytic conv count: ~31 GFLOP/img forward x3 for fwd+bwd.
+    analytic = 31.0e9 * batch * 3
+    cost_flops = None
+    try:
+        lowered = jax.jit(
+            lambda *a: step_fn(False, True, *a)
+        ).lower(state[0], state[1], state[2], state[3],
+                images_u8, offsets, seq, sent_input, None, step_rngs[-1])
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        cost_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # diagnostics only
+        _log("wp: cost_analysis unavailable:", repr(e))
+    _log(
+        f"wp: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
+        f"analytic~{analytic:.3e}"
+    )
+    flops_per_step = (
+        cost_flops if (cost_flops and 0.5 < cost_flops / analytic < 3.0) else analytic
+    )
+
+    it = iter(range(steps))
+
+    def chunk():
+        return one_step(step_rngs[next(it)])
+
+    timing = db.measure_device_time(chunk, steps)
+    dev_s, n_mod = timing.module_seconds("jit_step")
+    if dev_s is not None and n_mod != steps:
+        _log(f"wp: WARNING trace captured {n_mod}/{steps} steps")
+        dev_s = dev_s * steps / n_mod
+    rec = db.summarize(
+        flops_per_step=flops_per_step,
+        device_s=dev_s,
+        n_steps=steps,
+        items_per_step=batch,
+        wall_s=timing.wall_s,
+        peak=db.peak_flops(),
+    )
+    rec.update(
+        {
+            "metric": "weakpaired_cnn_ae_train_throughput",
+            "unit": "images_per_sec",
+            "value": rec.get("items_per_sec"),
+            "batch_size": batch,
+            "phase": "finetune_cnn",
+        }
+    )
+    return rec
+
+
 def _make_jpeg_corpus(root: str, n_files: int, w: int = 640, h: int = 480):
     """Write a small synthetic JPEG corpus (photo-like smooth noise, so decode
     cost is realistic) and return a path list of ``n_files`` entries cycling
@@ -456,6 +584,11 @@ def main():
             secondary.append(fc7)
         except Exception as e:  # keep the primary metric robust
             _log("fc7 bench failed:", repr(e))
+    if os.environ.get("BENCH_SKIP_WP", "0") != "1":
+        try:
+            secondary.append(bench_weakpaired())
+        except Exception as e:
+            _log("weakpaired bench failed:", repr(e))
     if os.environ.get("BENCH_SKIP_AE", "0") != "1":
         try:
             ae_rec = bench_text_ae()

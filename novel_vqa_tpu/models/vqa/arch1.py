@@ -58,6 +58,12 @@ class Arch1Config(NamedTuple):
     dropout: float = 0.5
     fusion: str = "axb"  # "axb" | "askipb" (wp variant)
     remat: bool = False  # jax.checkpoint the LSTM step (FLOPs for HBM)
+    # "bfloat16" = mixed precision: bf16 weights/activations in the forward
+    # (halves the HBM traffic of the saved per-step LSTM states that the
+    # backward re-reads), f32 matmul accumulation (preferred_element_type),
+    # f32 master weights + optimizer state, f32 loss.  Default f32 — the
+    # reference trains f32 and the parity suite pins f32 numerics.
+    compute_dtype: str = "float32"
 
 
 def init_params(rng: jax.Array, cfg: Arch1Config) -> Dict[str, Any]:
@@ -101,6 +107,15 @@ def apply(
         k_emb, k_enc, k_fus, k_cls = jax.random.split(rng, 4)
     else:
         k_emb = k_enc = k_fus = k_cls = None
+
+    if cfg.compute_dtype == "bfloat16":
+        # bf16 weights + activations; master params stay f32 (the cast's
+        # transpose accumulates the grads back to f32 for the optimizer)
+        cdt = jnp.bfloat16
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params
+        )
+        image = image.astype(cdt)
 
     # embedding: tanh(dropout(W[t] + b)) — Linear->Dropout->Tanh order (:141-144)
     emb = embedding_lookup(params["embedding"]["w"], tokens, params["embedding"]["b"])

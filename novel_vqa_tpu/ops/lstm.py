@@ -94,6 +94,7 @@ def lstm_step(
         and (not training or pallas_env == "all")
         and jax.default_backend() == "tpu"
         and c.shape[-1] % 128 == 0  # lane-aligned H; tiny models stay on XLA
+        and x.dtype == jnp.float32  # bf16 mixed precision stays on XLA
     ):
         from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_step
 
@@ -111,7 +112,10 @@ def lstm_step(
     g = jnp.tanh(gates[..., 3 * rnn_size : 4 * rnn_size])
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
-    return c_new, h_new
+    # mixed precision: gates accumulate f32 (preferred_element_type) but the
+    # carried state stays in the caller's compute dtype, so the per-step
+    # activations saved for the backward are half-width under bf16
+    return c_new.astype(c.dtype), h_new.astype(h.dtype)
 
 
 def lstm_stack_step(
@@ -168,6 +172,79 @@ def unpack_state(packed: jax.Array, num_layers: int) -> Tuple[jax.Array, jax.Arr
     return jnp.stack(cs), jnp.stack(hs)
 
 
+def lstm_encode_layerwise(
+    params: Sequence[LSTMLayerParams],
+    xs: jax.Array,  # (T, N, in) time-major inputs
+    mask: jax.Array,  # (T, N) 1.0 where the step is active for that row
+    *,
+    dropout_rate: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    unroll: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Layer-by-layer masked encode (same math as :func:`lstm_encode`).
+
+    Instead of scanning a stacked multi-layer cell over time (2 matmuls x L
+    layers per step, all sequential), each layer runs over the WHOLE sequence
+    before the next starts: the input-side projection ``xs @ Wx`` becomes ONE
+    (T*N, in)@(in, 4H) MXU-sized matmul per layer — the only sequential work
+    left is the (N, H)@(H, 4H) recurrence.  Under autodiff the same structure
+    holds in reverse: dWx is one big matmul instead of T accumulated small
+    ones.  This halves the sequential matmul chain and cuts the op count per
+    step substantially (the arch1 train step is dispatch-overhead-bound —
+    docs/PERF.md round-3 record).
+
+    Inter-layer dropout (misc/LSTM.lua:36-38: input of layers > 1 only) is
+    applied to the whole (T, N, H) sequence at once — per-timestep-distinct
+    masks, statistically identical to the per-step split of the stacked path.
+
+    Returns the final (c, h), each (L, N, H) — identical (up to float
+    reassociation of the gate sum) to the stacked scan.
+    """
+    seq_len = xs.shape[0]
+    batch = xs.shape[1]
+    m = mask[:, :, None] > 0  # (T, N, 1)
+    seq = xs
+    final_c: List[jax.Array] = []
+    final_h: List[jax.Array] = []
+    for layer_idx, layer in enumerate(params):
+        if layer_idx > 0 and dropout_rate > 0.0 and not deterministic:
+            rng, sub = jax.random.split(rng)
+            seq = dropout(sub, seq, dropout_rate, deterministic=False)
+        rnn_size = layer["wh"].shape[0]
+        gx = (
+            jnp.dot(
+                seq.reshape(seq_len * batch, -1),
+                layer["wx"],
+                preferred_element_type=jnp.float32,
+            ).reshape(seq_len, batch, 4 * rnn_size)
+            + layer["bx"]
+            + layer["bh"]
+        )
+        wh = layer["wh"]
+
+        def body(state, inputs):
+            gx_t, m_t = inputs
+            c, h = state
+            gates = gx_t + jnp.dot(h, wh, preferred_element_type=jnp.float32)
+            i = jax.nn.sigmoid(gates[..., 0 * rnn_size : 1 * rnn_size])
+            f = jax.nn.sigmoid(gates[..., 1 * rnn_size : 2 * rnn_size])
+            o = jax.nn.sigmoid(gates[..., 2 * rnn_size : 3 * rnn_size])
+            g = jnp.tanh(gates[..., 3 * rnn_size : 4 * rnn_size])
+            c_new = jnp.where(m_t, f * c + i * g, c).astype(c.dtype)
+            h_new = jnp.where(m_t, o * jnp.tanh(c_new), h).astype(h.dtype)
+            return (c_new, h_new), h_new
+
+        zeros = jnp.zeros((batch, rnn_size), xs.dtype)
+        (c_fin, h_fin), hs = jax.lax.scan(
+            body, (zeros, zeros), (gx, m), unroll=unroll
+        )
+        final_c.append(c_fin)
+        final_h.append(h_fin)
+        seq = hs
+    return jnp.stack(final_c), jnp.stack(final_h)
+
+
 def lstm_encode(
     params: Sequence[LSTMLayerParams],
     xs: jax.Array,  # (T, N, in) time-major inputs
@@ -213,6 +290,7 @@ def lstm_encode(
         and rnn_size % 128 == 0  # lane-aligned H; tiny models stay on XLA
         and os.environ.get("NOVEL_VQA_PALLAS", "1") != "0"
         and jax.default_backend() == "tpu"
+        and xs.dtype == jnp.float32  # bf16 mixed precision stays on XLA
     ):
         if deterministic:
             from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
@@ -228,6 +306,25 @@ def lstm_encode(
             return pallas_lstm_encode_train(params, xs, mask, dropout_rate, rng)
         # training defaults to the (unrolled) per-step scan with the fused
         # Pallas cell; see the A/B record in docs/PERF.md.
+
+    # layer-by-layer route (one big x-projection matmul per layer, only the
+    # h@Wh recurrence stays sequential) — A/B knob, see lstm_encode_layerwise
+    if (
+        init_state is None
+        and not return_sequence
+        and not remat
+        and os.environ.get("NOVEL_VQA_LAYERWISE", "0") == "1"
+    ):
+        unroll_env = os.environ.get("NOVEL_VQA_UNROLL", "")
+        lw_unroll = (
+            max(1, min(seq_len, int(unroll_env)))
+            if unroll_env
+            else (seq_len if seq_len <= 16 else 1)
+        )
+        return lstm_encode_layerwise(
+            params, xs, mask, dropout_rate=dropout_rate, rng=rng,
+            deterministic=deterministic, unroll=lw_unroll,
+        )
 
     if init_state is None:
         zeros = jnp.zeros((num_layers, batch, rnn_size), xs.dtype)

@@ -88,6 +88,9 @@ class TrainConfig:
     data_parallel: int = 0
     profile_dir: str = ""  # jax.profiler trace output dir ('' = off)
     debug_nans: int = 0  # enable jax_debug_nans for fault localization
+    # "bfloat16" = mixed-precision training (bf16 weights/activations, f32
+    # accumulation + master weights); default f32 matches the reference
+    compute_dtype: str = "float32"
 
 
 def build_params(opt: TrainConfig, cfg: arch1.Arch1Config):
@@ -160,6 +163,7 @@ def main(argv=None):
         common_embedding_size=opt.common_embedding_size,
         num_output=opt.num_output,
         fusion=opt.fusion,
+        compute_dtype=opt.compute_dtype,
     )
     params = build_params(opt, cfg)
     grad_scales = None

@@ -107,3 +107,37 @@ def test_scan_gradients_flow():
     grads = jax.grad(f)(params)
     total = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree_util.tree_leaves(grads))
     assert total > 0
+
+
+def test_layerwise_encode_matches_stacked_scan():
+    """lstm_encode_layerwise (one big x-projection matmul per layer, only the
+    h@Wh recurrence sequential — the dispatch-overhead fix for the arch1
+    train step, docs/PERF.md round 3) is the same math as the stacked scan:
+    identical final states and parameter gradients on ragged masks."""
+    from novel_vqa_tpu.ops.lstm import lstm_encode_layerwise
+
+    rs = np.random.RandomState(0)
+    T, N, E, H = 16, 8, 20, 16
+    params = [
+        lstm_layer_init(jax.random.PRNGKey(i), E if i == 0 else H, H)
+        for i in range(2)
+    ]
+    xs = jnp.asarray(rs.randn(T, N, E).astype(np.float32))
+    lengths = rs.randint(1, T + 1, size=N)
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] >= (T - lengths[None, :])).astype(np.float32)
+    )
+
+    c0, h0 = lstm_encode(params, xs, mask, deterministic=True)
+    c1, h1 = lstm_encode_layerwise(params, xs, mask, deterministic=True, unroll=4)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+
+    def loss(enc_fn, p):
+        c, h = enc_fn(p, xs, mask, deterministic=True)
+        return jnp.sum(c**2) + jnp.sum(jnp.tanh(h))
+
+    g0 = jax.grad(lambda p: loss(lstm_encode, p))(params)
+    g1 = jax.grad(lambda p: loss(lstm_encode_layerwise, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
