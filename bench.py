@@ -155,6 +155,108 @@ def bench_train():
     return rec
 
 
+def bench_arch2():
+    """Arch2 (encoder-init) VQA training throughput — workload
+    /root/reference/003_train_vqa_arch2/002_train_baseline.lua (bs 500,
+    1x512 encoder over [img, START, tokens], rmsprop + wd).  Opt-in
+    secondary (BENCH_ARCH2=1): same shape of measurement as bench_train."""
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core import device_bench as db
+    from novel_vqa_tpu.models.vqa import arch2
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 500))
+    seq = int(os.environ.get("BENCH_SEQ", 16))
+    scan_steps = int(os.environ.get("BENCH_SCAN_STEPS", 25))
+    chunks = int(os.environ.get("BENCH_ARCH2_CHUNKS", 4))
+
+    cfg = arch2.Arch2Config(vocab_size=12782)
+    params = arch2.init_params(jax.random.PRNGKey(123), cfg)
+    tx = arch2.make_optimizer()
+    opt_state = tx.init(params)
+
+    n_questions = int(os.environ.get("BENCH_N_QUESTIONS", 200_000))
+    n_images = int(os.environ.get("BENCH_N_IMAGES", 20_000))
+    rs = np.random.RandomState(0)
+    lengths = rs.randint(3, seq + 1, size=n_questions)
+    cols = np.arange(seq)[None, :]
+    # arch2 tokens are LEFT-aligned (pad suffix)
+    tokens_h = np.where(
+        cols < lengths[:, None], rs.randint(1, cfg.vocab_size, size=(n_questions, seq)), 0
+    ).astype(np.int32)
+    image_h = rs.randn(n_images, cfg.nhimage).astype(np.float32)
+    image_h /= np.linalg.norm(image_h, axis=1, keepdims=True)
+    data = {
+        "tokens": jnp.asarray(tokens_h),
+        "image": jnp.asarray(image_h),
+        "img_pos": jnp.asarray(rs.randint(1, n_images + 1, size=n_questions), jnp.int32),
+        "answers": jnp.asarray(
+            rs.randint(1, cfg.num_output + 1, size=n_questions), jnp.int32
+        ),
+    }
+
+    analytic = db.analytic_flops_arch2_step(cfg, batch_size, seq)
+    cost_flops = None
+    try:
+        qinds0 = jnp.zeros((batch_size,), jnp.int32)
+        lowered = arch2.train_step_indexed.lower(
+            cfg, tx, params, opt_state, data, qinds0, jax.random.PRNGKey(0)
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        cost_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # diagnostics only
+        _log("arch2: single-step cost_analysis unavailable:", repr(e))
+    _log(
+        f"arch2: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
+        f"analytic={analytic:.3e}"
+    )
+    flops_per_step = (
+        cost_flops if (cost_flops and 0.5 < cost_flops / analytic < 3.0) else analytic
+    )
+
+    warm_chunks = 1
+    step_rngs = jax.random.split(jax.random.PRNGKey(1), warm_chunks + chunks)
+    state = [params, opt_state]
+    it = iter(range(warm_chunks + chunks))
+
+    def chunk():
+        i = next(it)
+        state[0], state[1], losses = arch2.train_steps_scan(
+            cfg, tx, state[0], state[1], data, scan_steps, batch_size, step_rngs[i]
+        )
+        return losses
+
+    for _ in range(warm_chunks):
+        out = chunk()
+    jax.device_get(out)
+
+    timing = db.measure_device_time(chunk, chunks)
+    dev_s, n_mod = timing.module_seconds("jit_train_steps_scan")
+    if dev_s is not None and n_mod != chunks:
+        _log(f"arch2: WARNING trace captured {n_mod}/{chunks} chunk executions")
+        dev_s = dev_s * chunks / n_mod
+    rec = db.summarize(
+        flops_per_step=flops_per_step,
+        device_s=dev_s,
+        n_steps=chunks * scan_steps,
+        items_per_step=batch_size,
+        wall_s=timing.wall_s,
+        peak=db.peak_flops(),
+    )
+    rec.update(
+        {
+            "metric": "vqa_arch2_train_throughput",
+            "unit": "qa_pairs_per_sec",
+            "value": rec.get("items_per_sec"),
+            "batch_size": batch_size,
+        }
+    )
+    return rec
+
+
 def bench_text_ae():
     """Text-AE pretraining throughput (sentences/sec/chip) — BASELINE.md's
     text-AE metric row, workload
@@ -451,7 +553,8 @@ def bench_fc7():
 
     paths = _make_jpeg_corpus("/tmp/nvqa_bench_jpegs", n_images)
     model = build_model(
-        "vgg16", _fixed_synthetic_vgg16_weights(), "fc7", 123, batch
+        "vgg16", _fixed_synthetic_vgg16_weights(), "fc7", 123, batch,
+        compute_dtype=os.environ.get("BENCH_FC7_DTYPE", "float32"),
     )
     forward, size, crop, _ = model
 
@@ -584,6 +687,11 @@ def main():
             secondary.append(fc7)
         except Exception as e:  # keep the primary metric robust
             _log("fc7 bench failed:", repr(e))
+    if os.environ.get("BENCH_ARCH2", "0") == "1":
+        try:
+            secondary.append(bench_arch2())
+        except Exception as e:
+            _log("arch2 bench failed:", repr(e))
     if os.environ.get("BENCH_SKIP_WP", "0") != "1":
         try:
             secondary.append(bench_weakpaired())

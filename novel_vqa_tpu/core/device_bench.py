@@ -350,6 +350,25 @@ def analytic_flops_arch1_step(cfg, batch_size: int, seq_len: int) -> float:
     return 3.0 * fwd  # bwd ~= 2x fwd
 
 
+def analytic_flops_arch2_step(cfg, batch_size: int, seq_len: int) -> float:
+    """Analytic matmul FLOPs for ONE arch2 fwd+bwd+update train step
+    (workload /root/reference/003_train_vqa_arch2/002_train_baseline.lua:
+    cnn_projection -> nn.Encoder over [img, START, w1..wL] -> classifier).
+
+    The encoder runs ``seq_len + 2`` LSTM steps (image tick + START token +
+    tokens, misc/Encoder_lstm.lua:170-226); bwd ~= 2x fwd.
+    """
+    E, H = cfg.input_encoding_size, cfg.rnn_size
+    per_tok = 0.0
+    for i in range(cfg.num_layers):
+        in_size = E if i == 0 else H
+        per_tok += 2.0 * 4 * H * (in_size + H)
+    enc = per_tok * (seq_len + 2)
+    proj = 2.0 * cfg.nhimage * E
+    classifier = 2.0 * H * cfg.num_output
+    return 3.0 * (enc + proj + classifier) * batch_size
+
+
 def analytic_flops_text_ae_step(cfg, batch_size: int, seq_len: int) -> float:
     """Analytic matmul FLOPs for ONE text-AE fwd+bwd+update train step
     (workload /root/reference/001_train_autoencoder/001_train_arch1_text_autoencoder.lua:208-249).
