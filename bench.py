@@ -41,6 +41,29 @@ def _log(*a):
     print(*a, file=sys.stderr)
 
 
+def _flops_per_step(tag, analytic, lower_fn):
+    """Resolve the per-step FLOP count: ``Compiled.cost_analysis()`` when it
+    is in sane agreement (0.5-3.0x) with the analytic matmul count, else the
+    analytic count — guards against cost-model artifacts and the
+    scan-body-counted-once undercount (CLAUDE.md trace caveats).
+    ``lower_fn`` returns a Lowered for ONE step."""
+    cost_flops = None
+    try:
+        cost = lower_fn().compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        cost_flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # diagnostics only
+        _log(f"{tag}: cost_analysis unavailable:", repr(e))
+    _log(
+        f"{tag}: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
+        f"analytic={analytic:.3e}"
+    )
+    if cost_flops and 0.5 < cost_flops / analytic < 3.0:
+        return cost_flops
+    return analytic
+
+
 def bench_train():
     import jax
     import jax.numpy as jnp
@@ -97,33 +120,16 @@ def bench_train():
     state = [params, opt_state]
 
     # exact FLOPs per step from a compiled SINGLE step, with the analytic
-    # matmul count as a cross-check (VERDICT round-1 item 1a).  NOTE: the
-    # lax.scan chunk's own cost_analysis undercounts — XLA reports the while
-    # body once, not x trip-count — so the scan program must not be the
-    # FLOPs source.
-    analytic = db.analytic_flops_arch1_step(cfg, batch_size, seq)
-    cost_flops = None
-    try:
-        qinds0 = jnp.zeros((batch_size,), jnp.int32)
-        lowered = arch1.train_step_indexed.lower(
-            cfg, tx, state[0], state[1], data, qinds0, step_rngs[0]
-        )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        cost_flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:  # diagnostics only
-        _log("train: single-step cost_analysis unavailable:", repr(e))
-    _log(
-        f"train: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
-        f"analytic={analytic:.3e}"
+    # matmul count as a cross-check (VERDICT round-1 item 1a); the scan
+    # chunk itself must not be the FLOPs source (body counted once).
+    flops_per_step = _flops_per_step(
+        "train",
+        db.analytic_flops_arch1_step(cfg, batch_size, seq),
+        lambda: arch1.train_step_indexed.lower(
+            cfg, tx, state[0], state[1], data,
+            jnp.zeros((batch_size,), jnp.int32), step_rngs[0],
+        ),
     )
-    # trust the compiled count only when it is in sane agreement with the
-    # analytic matmul count (guards against cost-model artifacts)
-    if cost_flops and 0.5 < cost_flops / analytic < 3.0:
-        flops_per_step = cost_flops
-    else:
-        flops_per_step = analytic
 
     it = iter(range(warm_chunks + chunks))
 
@@ -196,25 +202,13 @@ def bench_arch2():
         ),
     }
 
-    analytic = db.analytic_flops_arch2_step(cfg, batch_size, seq)
-    cost_flops = None
-    try:
-        qinds0 = jnp.zeros((batch_size,), jnp.int32)
-        lowered = arch2.train_step_indexed.lower(
-            cfg, tx, params, opt_state, data, qinds0, jax.random.PRNGKey(0)
-        )
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        cost_flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:  # diagnostics only
-        _log("arch2: single-step cost_analysis unavailable:", repr(e))
-    _log(
-        f"arch2: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
-        f"analytic={analytic:.3e}"
-    )
-    flops_per_step = (
-        cost_flops if (cost_flops and 0.5 < cost_flops / analytic < 3.0) else analytic
+    flops_per_step = _flops_per_step(
+        "arch2",
+        db.analytic_flops_arch2_step(cfg, batch_size, seq),
+        lambda: arch2.train_step_indexed.lower(
+            cfg, tx, params, opt_state, data,
+            jnp.zeros((batch_size,), jnp.int32), jax.random.PRNGKey(0),
+        ),
     )
 
     warm_chunks = 1
@@ -296,27 +290,14 @@ def bench_text_ae():
     ).astype(np.int32)
     train_rows = jnp.asarray(rows)
 
-    analytic = db.analytic_flops_text_ae_step(cfg, batch_size, seq)
-    cost_flops = None
-    try:
-        # a 1-step scan: cost_analysis counts the while body once, which for
-        # n_steps=1 IS the per-step figure (the multi-step program would
-        # undercount — CLAUDE.md trace caveats)
-        one = make_steps_scan(cfg, tx, 1, batch_size, donate=False)
-        cost = one.lower(
+    # a 1-step scan: cost_analysis counts the while body once, which for
+    # n_steps=1 IS the per-step figure
+    flops_per_step = _flops_per_step(
+        "text_ae",
+        db.analytic_flops_text_ae_step(cfg, batch_size, seq),
+        lambda: make_steps_scan(cfg, tx, 1, batch_size, donate=False).lower(
             params, opt_state, train_rows, jnp.int32(0), jax.random.PRNGKey(0)
-        ).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        cost_flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:  # diagnostics only
-        _log("text_ae: single-step cost_analysis unavailable:", repr(e))
-    _log(
-        f"text_ae: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
-        f"analytic={analytic:.3e}"
-    )
-    flops_per_step = (
-        cost_flops if (cost_flops and 0.5 < cost_flops / analytic < 3.0) else analytic
+        ),
     )
 
     steps_fn = make_steps_scan(cfg, tx, scan_steps, batch_size)
@@ -441,25 +422,13 @@ def bench_weakpaired():
     # under-report (loop body counted once — CLAUDE.md caveat) but the VGG
     # fwd+bwd dominates by ~2 orders of magnitude, so cross-check against the
     # analytic conv count: ~31 GFLOP/img forward x3 for fwd+bwd.
-    analytic = 31.0e9 * batch * 3
-    cost_flops = None
-    try:
-        lowered = jax.jit(
-            lambda *a: step_fn(False, True, *a)
-        ).lower(state[0], state[1], state[2], state[3],
-                images_u8, offsets, seq, sent_input, None, step_rngs[-1])
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0] if cost else {}
-        cost_flops = float(cost.get("flops", 0.0)) or None
-    except Exception as e:  # diagnostics only
-        _log("wp: cost_analysis unavailable:", repr(e))
-    _log(
-        f"wp: flops/step cost={cost_flops and f'{cost_flops:.3e}'} "
-        f"analytic~{analytic:.3e}"
-    )
-    flops_per_step = (
-        cost_flops if (cost_flops and 0.5 < cost_flops / analytic < 3.0) else analytic
+    flops_per_step = _flops_per_step(
+        "wp",
+        31.0e9 * batch * 3,
+        lambda: jax.jit(lambda *a: step_fn(False, True, *a)).lower(
+            state[0], state[1], state[2], state[3],
+            images_u8, offsets, seq, sent_input, None, step_rngs[-1],
+        ),
     )
 
     it = iter(range(steps))

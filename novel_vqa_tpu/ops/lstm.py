@@ -304,8 +304,9 @@ def lstm_encode(
             from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode_train
 
             return pallas_lstm_encode_train(params, xs, mask, dropout_rate, rng)
-        # training defaults to the (unrolled) per-step scan with the fused
-        # Pallas cell; see the A/B record in docs/PERF.md.
+        # training falls through to the (unrolled) per-step scan, whose
+        # cell is XLA by default (lstm_step routes Pallas only for eval or
+        # under NOVEL_VQA_PALLAS=all); see the A/B record in docs/PERF.md.
 
     # layer-by-layer route (one big x-projection matmul per layer, only the
     # h@Wh recurrence stays sequential) — A/B knob, see lstm_encode_layerwise

@@ -61,13 +61,13 @@ class WPTrainConfig:
     # (004_train_arch1_weakpaired_autoencoder_vgg.lua:121-127 reloads protos)
     start_from: str = ""
     start_from_text: str = ""
-    # full-state resume (both params + BOTH optimizer states + iteration;
-    # the finetune gate phase is a function of the restored iteration) from
-    # a train_state .npz written by --save_train_state.  RNG streams are
-    # CONTINUED, not replayed: the restored iteration is folded into the
-    # batch-sampling / crop / coin-flip / dropout seeds (exact stream
-    # positions are not checkpointed; i.i.d. sampling makes this equivalent
-    # in distribution)
+    # full-state resume (both params + BOTH optimizer states + iteration +
+    # the sequential-with-wrap batch window position; the finetune gate
+    # phase is a function of the restored iteration) from a train_state
+    # .npz written by --save_train_state.  RNG streams are CONTINUED, not
+    # replayed: the restored iteration is folded into the crop / coin-flip /
+    # dropout seeds (exact stream positions are not checkpointed; those
+    # draws are i.i.d., so this is equivalent in distribution)
     resume: str = ""
     save_train_state: int = 0
     cnn_arch: str = "vgg16"  # vgg16 | inception
@@ -377,11 +377,15 @@ def main(argv=None):
         start_iter = int(meta_d.get("iter", 0)) + 1
         print(f"resumed from {opt.resume} at iteration {start_iter}")
         # continue the RNG streams rather than replaying them from iteration
-        # 0: fold the restored iteration into the three seed sources (batch
-        # sampling / crop offsets / coin flips are i.i.d., so this preserves
-        # the training distribution while making a resumed run draw fresh
-        # randomness instead of the prefix an uninterrupted run already used)
+        # 0: fold the restored iteration into the seed sources (crop offsets
+        # / coin flips / dropout keys are i.i.d., so this preserves the
+        # training distribution while making a resumed run draw fresh
+        # randomness instead of the prefix an uninterrupted run already
+        # used).  Batch order is NOT i.i.d. — it is the reference's
+        # sequential-with-wrap window (misc/DataLoaderWeakPaired.lua) — so
+        # the window position is checkpointed and restored here.
         random.seed(opt.seed + start_iter)
+        loader.iterators["train"] = int(meta_d.get("train_it_pos", 0))
 
     mesh = repl = None
     if opt.data_parallel:
@@ -542,7 +546,14 @@ def main(argv=None):
                         "ae_opt": jax.device_get(ae_opt_state),
                         "cnn_opt": jax.device_get(cnn_opt_state),
                     },
-                    meta={"cfg": cfg._asdict(), "iter": it},
+                    meta={
+                        "cfg": cfg._asdict(),
+                        "iter": it,
+                        # sequential-with-wrap batch window position, so a
+                        # resumed run continues mid-epoch instead of
+                        # restarting at corpus row 0
+                        "train_it_pos": int(loader.iterators.get("train", 0)),
+                    },
                 )
 
         it += 1

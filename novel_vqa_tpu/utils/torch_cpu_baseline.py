@@ -265,7 +265,9 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch_size", type=int, default=500)
     ap.add_argument("--fc7_iters", type=int, default=2)
+    ap.add_argument("--text_ae_iters", type=int, default=1)
     ap.add_argument("--skip_fc7", action="store_true")
+    ap.add_argument("--skip_text_ae", action="store_true")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
     qps = measure(batch_size=args.batch_size, iters=args.iters)
@@ -280,6 +282,14 @@ if __name__ == "__main__":
         result["fc7_note"] = (
             "PyTorch-CPU VGG-16 fc7 forward, batch 10 "
             "(001_prepro_img_vgg.lua:101-113), compute only"
+        )
+    if not args.skip_text_ae:
+        result["torch_cpu_text_ae_sentences_per_sec"] = measure_text_ae(
+            iters=args.text_ae_iters
+        )
+        result["text_ae_note"] = (
+            "PyTorch-CPU text-AE training iteration, batch 1000 "
+            "(001_train_arch1_text_autoencoder.lua:208-249)"
         )
     print(json.dumps(result))
     if args.out:

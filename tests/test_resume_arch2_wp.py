@@ -163,6 +163,12 @@ def test_wp_full_state_resume(wp_files, capsys):
     assert os.path.exists(state_path)
     flat, meta = load_npz(state_path)
     assert meta["iter"] == 5
+    # the sequential-with-wrap batch window position is checkpointed so a
+    # resumed run continues mid-epoch (batch order is NOT i.i.d. — it is
+    # the reference's DataLoaderWeakPaired window); bs 8 over 24 train rows
+    # means the offset is always a multiple of 8 below 24
+    assert "train_it_pos" in meta
+    assert int(meta["train_it_pos"]) in (0, 8, 16)
     # both optimizer states persisted with non-trivial accumulators: the AE
     # adam second moments must be nonzero, and the CNN optimizer tree exists
     # (its accumulators are nonzero iff the finetune gate had opened)
