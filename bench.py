@@ -375,7 +375,10 @@ def bench_weakpaired():
     vocab = int(os.environ.get("BENCH_WP_VOCAB", 20000))
     seq_len = 16
 
-    opt = WPTrainConfig(batch_size=batch)
+    opt = WPTrainConfig(
+        batch_size=batch,
+        compute_dtype=os.environ.get("BENCH_WP_DTYPE", "float32"),
+    )
     cfg = ae.AEConfig(
         vocab_size=vocab, input_encoding_size=opt.input_encoding_size,
         rnn_size=opt.rnn_size, num_layers=opt.num_layers, seq_length=seq_len,
@@ -456,6 +459,7 @@ def bench_weakpaired():
             "value": rec.get("items_per_sec"),
             "batch_size": batch,
             "phase": "finetune_cnn",
+            "compute_dtype": opt.compute_dtype,
         }
     )
     return rec

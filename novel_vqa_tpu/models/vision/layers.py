@@ -35,20 +35,45 @@ def conv2d(
 ) -> jax.Array:
     # follow the weight dtype: with bf16 weights the input cast fuses into
     # the producer's epilogue, so inter-layer activations are STORED bf16
-    # (half the HBM traffic) while accumulation stays f32 via
-    # preferred_element_type — measured 24% on VGG-16 fc7 extraction
-    # (11.5 -> 9.3 ms/batch-32 on the v5e), bitwise-identical under
-    # --xla_allow_excess_precision (f32 compute retained)
+    # (half the HBM traffic) — measured 24% on VGG-16 fc7 extraction
+    # (11.5 -> 9.3 ms/batch-32 on the v5e).  f32 weights keep the f32
+    # accumulation pin (preferred_element_type); bf16 weights take the
+    # natural bf16 output dtype instead — the MXU still accumulates f32
+    # internally, and a same-dtype output is required for the conv
+    # TRANSPOSE rule (an f32 cotangent against bf16 operands is rejected),
+    # which the weak-paired trainer differentiates through.
+    w = params["w"]
+    preferred = jnp.float32 if w.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
-        x.astype(params["w"].dtype),
-        params["w"],
+        x.astype(w.dtype),
+        w,
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
     y = y + params["b"]
     return jnp.maximum(y, 0.0) if relu else y
+
+
+def bf16_storage_cast(params):
+    """Cast conv/linear weights to bf16 storage, keeping BatchNorm units f32
+    (the rsqrt/eps math is precision-sensitive).  The layer primitives cast
+    their inputs to the weight dtype, so inter-layer activations store bf16
+    (half the HBM traffic) while accumulation stays f32 via
+    ``preferred_element_type`` — measured +24% on VGG-16 fc7 extraction and
+    +19% at the extraction sweep's bs-128 config (docs/PERF.md).
+
+    Works on host or device trees; returns a new tree (masters untouched),
+    so a trainer can apply it per-step inside jit for mixed-precision
+    training with f32 master weights."""
+    if isinstance(params, dict):
+        if set(params) == {"scale", "offset", "mean", "var"}:
+            return params  # BN unit: keep f32
+        return {k: bf16_storage_cast(v) for k, v in params.items()}
+    if isinstance(params, list):
+        return [bf16_storage_cast(v) for v in params]
+    return params.astype(jnp.bfloat16)
 
 
 def max_pool(x, window=2, stride=2, padding="VALID"):

@@ -123,19 +123,9 @@ def build_model(
         params = net.init_params(jax.random.PRNGKey(seed), cfg)
 
     if compute_dtype == "bfloat16":
-        # cast conv/linear weights only — BN running stats stay f32 (the
-        # rsqrt/eps math is precision-sensitive); the layer primitives cast
-        # their inputs to the weight dtype, so activations store bf16
-        def _cast_tree(p):
-            if isinstance(p, dict):
-                if set(p) == {"scale", "offset", "mean", "var"}:
-                    return p  # BN unit: keep f32
-                return {k: _cast_tree(v) for k, v in p.items()}
-            if isinstance(p, list):
-                return [_cast_tree(v) for v in p]
-            return p.astype(jnp.bfloat16)
+        from novel_vqa_tpu.models.vision.layers import bf16_storage_cast
 
-        params = _cast_tree(jax.device_get(params))
+        params = bf16_storage_cast(jax.device_get(params))
         params = jax.tree_util.tree_map(jnp.asarray, params)
     elif compute_dtype != "float32":
         raise ValueError(f"unknown --compute_dtype {compute_dtype}")

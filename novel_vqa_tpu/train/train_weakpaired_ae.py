@@ -112,6 +112,11 @@ class WPTrainConfig:
     # sharded over the mesh and the gradient means for BOTH nets (CNN and AE)
     # psum over ICI; requires batch_size % n_devices == 0
     data_parallel: int = 0
+    # "bfloat16" = bf16 storage for the CNN trunk inside the step (weights +
+    # inter-layer activations; f32 accumulation, f32 master weights + both
+    # optimizers, f32 AE side — the fc7 features are upcast before the
+    # L2-norm).  Default f32 matches the reference numerics.
+    compute_dtype: str = "float32"
 
 
 def build_cnn(opt: WPTrainConfig, with_projection: bool, rng):
@@ -150,7 +155,16 @@ def build_cnn(opt: WPTrainConfig, with_projection: bool, rng):
         }
 
     def apply_fn(cnn_params, images):
-        feats = trunk(params=cnn_params["trunk"], images=images)
+        trunk_params = cnn_params["trunk"]
+        if opt.compute_dtype == "bfloat16":
+            # bf16 storage mixed precision: cast inside the step so the
+            # master weights (and both optimizer states) stay f32 — the
+            # cast's transpose accumulates the trunk grads back to f32
+            from novel_vqa_tpu.models.vision.layers import bf16_storage_cast
+
+            trunk_params = bf16_storage_cast(trunk_params)
+        feats = trunk(params=trunk_params, images=images)
+        feats = jnp.asarray(feats, jnp.float32)  # f32 boundary for the AE side
         feats = l2_normalize(feats)  # nn.L2Normalize after the tap
         if "proj" in cnn_params:
             feats = (

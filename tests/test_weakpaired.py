@@ -206,3 +206,68 @@ def test_wp_trainer_cli_data_parallel(wp_files):
         ]
     )
     assert os.path.exists(os.path.join(ckpt, "model_id.npz"))
+
+
+def test_wp_trainer_bf16_cnn_storage(wp_files):
+    """--compute_dtype bfloat16: bf16 storage for the CNN trunk inside the
+    jitted step, f32 master weights + optimizer states + AE side.  The
+    trainer must run through both finetune-gate phases, the checkpoint must
+    stay f32, and the CNN must actually update in the finetune phase."""
+    from novel_vqa_tpu.core.checkpoint import load_npz
+    from novel_vqa_tpu.train import train_weakpaired_ae
+
+    ckpt = str(wp_files["tmp"] / "wp_bf16")
+    os.makedirs(ckpt, exist_ok=True)
+    train_weakpaired_ae.main([
+        "--input_h5", wp_files["h5"],
+        "--input_json", wp_files["json"],
+        "--variant", "vqa_arch",
+        "--rnn_size", "12",
+        "--input_encoding_size", "16",
+        "--batch_size", "8",
+        "--max_iters", "5",
+        "--save_checkpoint_every", "4",
+        "--val_sentences_use", "10",
+        "--losses_log_every", "2",
+        "--checkpoint_path", ckpt,
+        "--image_size", "40",
+        "--crop_size", "32",
+        "--nhimage", "4096",
+        "--finetune_cnn_after", "2",
+        "--cnn_learning_rate", "1e-3",
+        "--lstm_average_path", wp_files["mean"],
+        "--compute_dtype", "bfloat16",
+    ])
+    flat, _ = load_npz(os.path.join(ckpt, "model_id.npz"))
+    cnn_leaves = {k: v for k, v in flat.items() if k.startswith("cnn/")}
+    assert cnn_leaves
+    # master weights stay f32 despite the in-step bf16 cast
+    assert all(v.dtype == np.float32 for v in cnn_leaves.values())
+
+    # the finetune-phase CNN update actually moved the trunk: retrain with
+    # the gate closed and compare a first-conv leaf
+    ckpt2 = str(wp_files["tmp"] / "wp_bf16_nofinetune")
+    os.makedirs(ckpt2, exist_ok=True)
+    train_weakpaired_ae.main([
+        "--input_h5", wp_files["h5"],
+        "--input_json", wp_files["json"],
+        "--variant", "vqa_arch",
+        "--rnn_size", "12",
+        "--input_encoding_size", "16",
+        "--batch_size", "8",
+        "--max_iters", "5",
+        "--save_checkpoint_every", "4",
+        "--val_sentences_use", "10",
+        "--losses_log_every", "2",
+        "--checkpoint_path", ckpt2,
+        "--image_size", "40",
+        "--crop_size", "32",
+        "--nhimage", "4096",
+        "--finetune_cnn_after", "-1",  # never finetune
+        "--cnn_learning_rate", "1e-3",
+        "--lstm_average_path", wp_files["mean"],
+        "--compute_dtype", "bfloat16",
+    ])
+    flat2, _ = load_npz(os.path.join(ckpt2, "model_id.npz"))
+    key = sorted(cnn_leaves)[0]
+    assert np.abs(flat[key] - flat2[key]).sum() > 0
