@@ -60,9 +60,12 @@ def bf16_storage_cast(params):
     """Cast conv/linear weights to bf16 storage, keeping BatchNorm units f32
     (the rsqrt/eps math is precision-sensitive).  The layer primitives cast
     their inputs to the weight dtype, so inter-layer activations store bf16
-    (half the HBM traffic) while accumulation stays f32 via
-    ``preferred_element_type`` — measured +24% on VGG-16 fc7 extraction and
-    +19% at the extraction sweep's bs-128 config (docs/PERF.md).
+    (half the HBM traffic); bf16-weight convs emit their NATURAL bf16
+    output (the MXU still accumulates f32 internally — do not reintroduce
+    ``preferred_element_type=f32`` there, the conv transpose rule rejects
+    the resulting f32 cotangent against bf16 operands, see conv2d).
+    Measured +24% on VGG-16 fc7 extraction, and larger at the sweep's
+    bs-128 config (docs/PERF.md).
 
     Works on host or device trees; returns a new tree (masters untouched),
     so a trainer can apply it per-step inside jit for mixed-precision

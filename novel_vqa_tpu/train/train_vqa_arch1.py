@@ -154,6 +154,8 @@ def main(argv=None):
         seed=opt.seed,
         img_norm_split_dims=split_dims,
     )
+    if opt.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown --compute_dtype {opt.compute_dtype}")
     cfg = arch1.Arch1Config(
         vocab_size=data.vocab_size,
         input_encoding_size=opt.input_encoding_size,

@@ -154,6 +154,9 @@ def build_cnn(opt: WPTrainConfig, with_projection: bool, rng):
             "b": jnp.zeros((opt.input_encoding_size,), jnp.float32),
         }
 
+    if opt.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown --compute_dtype {opt.compute_dtype}")
+
     def apply_fn(cnn_params, images):
         trunk_params = cnn_params["trunk"]
         if opt.compute_dtype == "bfloat16":

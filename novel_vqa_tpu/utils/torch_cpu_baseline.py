@@ -16,6 +16,7 @@ number in bench_baseline.json (re-measure with --refresh).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -293,5 +294,30 @@ if __name__ == "__main__":
         )
     print(json.dumps(result))
     if args.out:
+        # merge-max policy: each torch_cpu_* throughput key keeps the
+        # HIGHEST rate ever measured (host throughput varies ~30% run to
+        # run on this shared 1-core box; best-torch makes every
+        # vs_baseline speedup a conservative lower bound).  A re-measure
+        # therefore never clobbers a better prior number, and keys/notes a
+        # skipped run didn't produce survive.
+        merged = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+        for k, v in result.items():
+            if (
+                k.startswith("torch_cpu_")
+                and isinstance(merged.get(k), (int, float))
+                and merged[k] >= v
+            ):
+                continue  # keep the better prior measurement
+            merged[k] = v
+        merged.setdefault(
+            "policy_note",
+            "each key keeps the HIGHEST Torch-CPU rate measured across "
+            "baseline runs (host throughput varies ~30% run to run on this "
+            "shared 1-core box; taking the best torch number makes every "
+            "vs_baseline speedup a conservative lower bound)",
+        )
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(merged, f, indent=1)
