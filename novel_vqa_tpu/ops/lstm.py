@@ -99,6 +99,10 @@ def lstm_step(
         from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_step
 
         return pallas_lstm_step(params, x, c, h)
+    if training and os.environ.get("NOVEL_VQA_BF16_RESID", "0") == "1":
+        c2, h2 = _cell_bf16_resid(params["wx"], params["wh"],
+                                  params["bx"] + params["bh"], x, c, h)
+        return c2.astype(c.dtype), h2.astype(h.dtype)
     rnn_size = c.shape[-1]
     gates = (
         jnp.dot(x, params["wx"], preferred_element_type=jnp.float32)
@@ -116,6 +120,83 @@ def lstm_step(
     # carried state stays in the caller's compute dtype, so the per-step
     # activations saved for the backward are half-width under bf16
     return c_new.astype(c.dtype), h_new.astype(h.dtype)
+
+
+@jax.custom_vjp
+def _cell_bf16_resid(wx, wh, b, x, c, h):
+    """LSTM cell whose backward RESIDUALS are stored bf16 (A/B knob
+    ``NOVEL_VQA_BF16_RESID=1``).
+
+    Hypothesis (docs/PERF.md round-3 profile): ~264 us/step of the arch1
+    train step is HBM<->VMEM copy-done traffic staging the (N, H) f32
+    per-step activations the backward re-reads.  This cell computes fwd and
+    bwd entirely in f32 (identical update math to the plain path, unlike
+    the rejected full-bf16 route) but saves the gate activations / states
+    for the backward as bf16 — halving the residual footprint at the cost
+    of ~1e-3-relative gradient rounding and the pack/unpack casts."""
+    c2, h2, _ = _cell_fwd_math(wx, wh, b, x, c, h)
+    return c2, h2
+
+
+def _cell_fwd_math(wx, wh, b, x, c, h):
+    H = c.shape[-1]
+    gates = (
+        jnp.dot(x, wx, preferred_element_type=jnp.float32)
+        + jnp.dot(h, wh, preferred_element_type=jnp.float32)
+        + b
+    )
+    i = jax.nn.sigmoid(gates[..., 0 * H : 1 * H])
+    f = jax.nn.sigmoid(gates[..., 1 * H : 2 * H])
+    o = jax.nn.sigmoid(gates[..., 2 * H : 3 * H])
+    g = jnp.tanh(gates[..., 3 * H : 4 * H])
+    c2 = f * c + i * g
+    tc2 = jnp.tanh(c2)
+    h2 = o * tc2
+    return c2, h2, (i, f, o, g, tc2)
+
+
+def _cell_bf16_resid_fwd(wx, wh, b, x, c, h):
+    c2, h2, (i, f, o, g, tc2) = _cell_fwd_math(wx, wh, b, x, c, h)
+    bf = jnp.bfloat16
+    resid = (
+        wx, wh,  # weights are shared across steps — no per-step footprint
+        x.astype(bf), c.astype(bf), h.astype(bf),
+        i.astype(bf), f.astype(bf), o.astype(bf), g.astype(bf),
+        tc2.astype(bf),
+    )
+    return (c2, h2), resid
+
+
+def _cell_bf16_resid_bwd(resid, cts):
+    wx, wh, x, c, h, i, f, o, g, tc2 = (
+        resid[0], resid[1],
+        *(t.astype(jnp.float32) for t in resid[2:]),
+    )
+    dc2, dh2 = cts
+    do = dh2 * tc2
+    dc2 = dc2 + dh2 * o * (1.0 - tc2 * tc2)
+    df = dc2 * c
+    dc = dc2 * f
+    di = dc2 * g
+    dg = dc2 * i
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            do * o * (1.0 - o),
+            dg * (1.0 - g * g),
+        ],
+        axis=-1,
+    )
+    dwx = jnp.dot(x.T, dgates, preferred_element_type=jnp.float32)
+    dwh = jnp.dot(h.T, dgates, preferred_element_type=jnp.float32)
+    db = jnp.sum(dgates, axis=0)
+    dx = jnp.dot(dgates, wx.T, preferred_element_type=jnp.float32)
+    dh = jnp.dot(dgates, wh.T, preferred_element_type=jnp.float32)
+    return dwx, dwh, db, dx, dc, dh
+
+
+_cell_bf16_resid.defvjp(_cell_bf16_resid_fwd, _cell_bf16_resid_bwd)
 
 
 def lstm_stack_step(

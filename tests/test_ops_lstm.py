@@ -141,3 +141,36 @@ def test_layerwise_encode_matches_stacked_scan():
     g1 = jax.grad(lambda p: loss(lstm_encode_layerwise, p))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_bf16_resid_cell_grads_match(monkeypatch):
+    """NOVEL_VQA_BF16_RESID=1 routes training steps through the custom-VJP
+    cell that stores backward residuals in bf16 (f32 compute both
+    directions — the A/B knob behind the docs/PERF.md record).  Gradients
+    must match autodiff to bf16-rounding tolerance on ragged masks."""
+    rs = np.random.RandomState(0)
+    T, N, E, H = 16, 8, 20, 16
+    params = [
+        lstm_layer_init(jax.random.PRNGKey(i), E if i == 0 else H, H)
+        for i in range(2)
+    ]
+    xs = jnp.asarray(rs.randn(T, N, E).astype(np.float32))
+    lengths = rs.randint(1, T + 1, size=N)
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] >= (T - lengths[None, :])).astype(np.float32)
+    )
+
+    def loss(p):
+        # deterministic=False exercises the TRAINING cell route
+        c, h = lstm_encode(p, xs, mask, deterministic=False, dropout_rate=0.0)
+        return jnp.sum(c**2) + jnp.sum(jnp.tanh(h))
+
+    g0 = jax.grad(loss)(params)
+    monkeypatch.setenv("NOVEL_VQA_BF16_RESID", "1")
+    jax.clear_caches()  # the env gate is read at trace time
+    g1 = jax.grad(loss)(params)
+    jax.clear_caches()
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        assert rel < 2e-2, rel
