@@ -78,10 +78,13 @@ def bench_train():
     iters = int(os.environ.get("BENCH_ITERS", 100))
     warmup = int(os.environ.get("BENCH_WARMUP", 25))
 
-    cfg = arch1.Arch1Config(
-        vocab_size=12782,
-        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
-    )
+    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    if compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"BENCH_DTYPE={compute_dtype!r}: must be 'float32' or 'bfloat16' "
+            "(a typo would silently benchmark f32)"
+        )
+    cfg = arch1.Arch1Config(vocab_size=12782, compute_dtype=compute_dtype)
     rng = jax.random.PRNGKey(123)
     params = arch1.init_params(rng, cfg)
     tx = arch1.make_optimizer()
@@ -158,6 +161,38 @@ def bench_train():
         peak=db.peak_flops(),
     )
     rec["batch_size"] = batch_size
+    rec["compute_dtype"] = compute_dtype
+
+    # wall-vs-device convergence (BENCH_WALL_SWEEP=1, VERDICT round-3 item
+    # 3): wall items/sec at increasing steps_per_dispatch.  Completion is
+    # forced by device_get(losses) — losses depend on every step, so the
+    # elapsed wall is a true lower bound on throughput even through the
+    # tunnel (unlike block_until_ready).
+    if os.environ.get("BENCH_WALL_SWEEP", "0") == "1":
+        sweep = {}
+        key = jax.random.PRNGKey(2)
+        for sw_steps in (25, 250, 2500):
+            sw_chunks = max(2, int(os.environ.get("BENCH_SWEEP_STEPS", 5000)) // sw_steps)
+            keys = jax.random.split(jax.random.fold_in(key, sw_steps), sw_chunks + 1)
+            state[0], state[1], losses = arch1.train_steps_scan(
+                cfg, tx, state[0], state[1], data, sw_steps, batch_size, keys[-1]
+            )
+            jax.device_get(losses)  # compile + warm outside the timed window
+            t0 = time.perf_counter()
+            for i in range(sw_chunks):
+                state[0], state[1], losses = arch1.train_steps_scan(
+                    cfg, tx, state[0], state[1], data, sw_steps, batch_size, keys[i]
+                )
+            jax.device_get(losses)  # chunks chain sequentially => forces all
+            wall = time.perf_counter() - t0
+            n_st = sw_chunks * sw_steps
+            sweep[str(sw_steps)] = {
+                "wall_ms_per_step": round(1000 * wall / n_st, 4),
+                "wall_items_per_sec": round(n_st * batch_size / wall, 1),
+                "chunks": sw_chunks,
+            }
+            _log(f"wall_sweep steps_per_dispatch={sw_steps}: {sweep[str(sw_steps)]}")
+        rec["wall_sweep"] = sweep
     return rec
 
 
@@ -424,7 +459,13 @@ def bench_weakpaired():
     # FLOPs from the compiled step; the AE's encode/decode lax.scans
     # under-report (loop body counted once — CLAUDE.md caveat) but the VGG
     # fwd+bwd dominates by ~2 orders of magnitude, so cross-check against the
-    # analytic conv count: ~31 GFLOP/img forward x3 for fwd+bwd.
+    # analytic conv count: ~31 GFLOP/img forward x3 for fwd+bwd.  The 31
+    # GFLOP figure assumes VGG-16 at the default 224 crop — assert that so a
+    # future configurable crop/arch can't silently mislabel MFU.
+    assert opt.crop_size == 224 and getattr(opt, "cnn_arch", "vgg16") == "vgg16", (
+        f"wp analytic FLOP anchor assumes VGG-16 @224; got "
+        f"{getattr(opt, 'cnn_arch', 'vgg16')} @{opt.crop_size}"
+    )
     flops_per_step = _flops_per_step(
         "wp",
         31.0e9 * batch * 3,
@@ -628,9 +669,13 @@ def bench_fc7():
     # a local host would not; the measured figure is therefore a LOWER bound
     # on sustained throughput.
     try:
-        _, pipe_wall = run_pipelined_extraction([model], paths, batch, workers)
+        depth = int(os.environ.get("BENCH_FC7_DEPTH", 4))
+        _, pipe_wall = run_pipelined_extraction(
+            [model], paths, batch, workers, depth=depth
+        )
         rec["sustained_images_per_sec_measured"] = round(n_images / pipe_wall, 2)
         rec["sustained_pipeline_wall_s"] = round(pipe_wall, 2)
+        rec["sustained_pipeline_depth"] = depth
         rec["sustained_source"] = "measured_pipelined_loop"
     except Exception as e:  # keep the device metric robust
         _log("fc7: measured sustained pipeline failed:", repr(e))
@@ -696,6 +741,7 @@ def main():
         "wall_items_per_sec",
         "wall_mfu",
         "wall_clock_trusted",
+        "compute_dtype",
     ):
         if k in train:
             out[k] = train[k]

@@ -68,6 +68,7 @@ class DecodePool:
         workers: int = 8,
         use_native: bool = True,
         fast_decode: bool = False,
+        prefetch_depth: int = 3,
     ):
         self.size = size
         self.center_crop_square = center_crop_square
@@ -76,6 +77,10 @@ class DecodePool:
         # on the host, pixel deviation at the few-intensity-level scale —
         # opt-in; the default decodes full-res like the reference's loadim
         self.fast_decode = fast_decode
+        # batches decoded AHEAD of the consumer: a deeper queue keeps the
+        # decode threads busy while the consumer blocks on a device fetch
+        # (each decoded batch buffers size^2*3*B bytes — ~19 MB at 224/128)
+        self.prefetch_depth = max(1, prefetch_depth)
         self.pool = ThreadPoolExecutor(max_workers=2)  # batch-level prefetch
         if use_native:
             from novel_vqa_tpu.data import native_images
@@ -103,16 +108,23 @@ class DecodePool:
         """Yields (uint8 batch, missing mask, real_count); the final batch is
         padded to batch_size by repeating the first row (static shapes for
         jit)."""
+        from collections import deque
+
         chunks = [
             paths[i : i + batch_size] for i in range(0, len(paths), batch_size)
         ]
         if not chunks:
             return
-        future = self.pool.submit(self._decode_batch, chunks[0])
-        for ci in range(len(chunks)):
-            imgs, missing = future.result()
-            if ci + 1 < len(chunks):
-                future = self.pool.submit(self._decode_batch, chunks[ci + 1])
+        futures: "deque" = deque()
+        next_ci = 0
+        while next_ci < min(self.prefetch_depth, len(chunks)):
+            futures.append(self.pool.submit(self._decode_batch, chunks[next_ci]))
+            next_ci += 1
+        while futures:
+            imgs, missing = futures.popleft().result()
+            if next_ci < len(chunks):
+                futures.append(self.pool.submit(self._decode_batch, chunks[next_ci]))
+                next_ci += 1
             real = imgs.shape[0]
             if real < batch_size:
                 pad = batch_size - real

@@ -55,6 +55,54 @@ def _cbr(p, x, stride=(1, 1), padding="SAME"):
     return jnp.maximum(batch_norm(p["bn"], y), 0.0)
 
 
+def _branch_fusion_on() -> bool:
+    # A/B knob for the same-input 1x1 branch fusion (docs/PERF.md Inception
+    # record); read at trace time, so flipping it forces a retrace
+    import os
+
+    return os.environ.get("NOVEL_VQA_INC_FUSE", "1") != "0"
+
+
+def _cbr_multi(units, x):
+    """Same-input 1x1 conv+BN+ReLU branches computed as ONE conv.
+
+    Inception's parallel branches open with narrow 1x1 convs on the SAME
+    input (e.g. InceptionA: 64+48+64 out-channels) — each pads its output
+    channels up to the MXU's 128 lanes, wasting up to 4x of the systolic
+    array (the round-3 attribution's structural diagnosis, docs/PERF.md).
+    Concatenating the weights along C_out turns k narrow GEMMs into one
+    wide one; every output channel is computed by exactly the same
+    contraction as in the separate convs, and BN/ReLU are per-channel, so
+    applying them on the concatenated output is bitwise-identical math —
+    this is pure op-count/lane-fill surgery, no approximation.  The params
+    tree is untouched (importers/checkpoints unchanged); the concat is
+    traced per compile and fuses into the conv's weight read.
+
+    Returns the per-branch outputs (list, in ``units`` order).
+    """
+    sizes = [u["conv"]["w"].shape[-1] for u in units]
+    if not _branch_fusion_on():
+        return [_cbr(u, x) for u in units]
+    w = jnp.concatenate([u["conv"]["w"] for u in units], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        x.astype(w.dtype),
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    bn = {
+        k: jnp.concatenate([u["bn"][k] for u in units])
+        for k in ("scale", "offset", "mean", "var")
+    }
+    y = jnp.maximum(batch_norm(bn, y), 0.0)
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+    return [y[..., offs[i] : offs[i + 1]] for i in range(len(units))]
+
+
 def _stem_conv_s2d(p, x):
     """The first stem conv (3x3, stride 2, VALID, C_in=3) via 2x2
     space-to-depth — the standard TPU fix for pathological C_in=3 convs.
@@ -114,9 +162,11 @@ def _inception_a_init(kg, c_in, pool_features):
 
 
 def _inception_a(p, x):
-    b1 = _cbr(p["b1x1"], x)
-    b5 = _cbr(p["b5x5_2"], _cbr(p["b5x5_1"], x))
-    b3 = _cbr(p["b3x3dbl_3"], _cbr(p["b3x3dbl_2"], _cbr(p["b3x3dbl_1"], x)))
+    # the three same-input 1x1 branch heads run as one 64+48+64-wide GEMM
+    # (bpool's 1x1 sees the pooled input, so it stays separate)
+    b1, b5, b3 = _cbr_multi([p["b1x1"], p["b5x5_1"], p["b3x3dbl_1"]], x)
+    b5 = _cbr(p["b5x5_2"], b5)
+    b3 = _cbr(p["b3x3dbl_3"], _cbr(p["b3x3dbl_2"], b3))
     bp = _cbr(p["bpool"], avg_pool(x, 3))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -154,9 +204,9 @@ def _inception_c_init(kg, c_in, c7):
 
 
 def _inception_c(p, x):
-    b1 = _cbr(p["b1x1"], x)
-    b7 = _cbr(p["b7x7_3"], _cbr(p["b7x7_2"], _cbr(p["b7x7_1"], x)))
-    bd = _cbr(p["b7x7dbl_1"], x)
+    # 192 + c7 + c7 same-input 1x1 heads as one GEMM (512-576 wide)
+    b1, b7, bd = _cbr_multi([p["b1x1"], p["b7x7_1"], p["b7x7dbl_1"]], x)
+    b7 = _cbr(p["b7x7_3"], _cbr(p["b7x7_2"], b7))
     for name in ("b7x7dbl_2", "b7x7dbl_3", "b7x7dbl_4", "b7x7dbl_5"):
         bd = _cbr(p[name], bd)
     bp = _cbr(p["bpool"], avg_pool(x, 3))
@@ -175,8 +225,10 @@ def _inception_d_init(kg, c_in):
 
 
 def _inception_d(p, x):
-    b3 = _cbr(p["b3x3_2"], _cbr(p["b3x3_1"], x), stride=(2, 2), padding="VALID")
-    b7 = _cbr(p["b7x7x3_3"], _cbr(p["b7x7x3_2"], _cbr(p["b7x7x3_1"], x)))
+    # both branch heads are same-input 192-wide 1x1s -> one 384-wide GEMM
+    b3, b7 = _cbr_multi([p["b3x3_1"], p["b7x7x3_1"]], x)
+    b3 = _cbr(p["b3x3_2"], b3, stride=(2, 2), padding="VALID")
+    b7 = _cbr(p["b7x7x3_3"], _cbr(p["b7x7x3_2"], b7))
     b7 = _cbr(p["b7x7x3_4"], b7, stride=(2, 2), padding="VALID")
     bp = max_pool(x, 3, 2, "VALID")
     return jnp.concatenate([b3, b7, bp], axis=-1)
@@ -197,10 +249,10 @@ def _inception_e_init(kg, c_in):
 
 
 def _inception_e(p, x):
-    b1 = _cbr(p["b1x1"], x)
-    b3 = _cbr(p["b3x3_1"], x)
+    # 320 + 384 + 448 same-input 1x1 heads as one 1152-wide GEMM
+    b1, b3, bd = _cbr_multi([p["b1x1"], p["b3x3_1"], p["b3x3dbl_1"]], x)
     b3 = jnp.concatenate([_cbr(p["b3x3_2a"], b3), _cbr(p["b3x3_2b"], b3)], axis=-1)
-    bd = _cbr(p["b3x3dbl_2"], _cbr(p["b3x3dbl_1"], x))
+    bd = _cbr(p["b3x3dbl_2"], bd)
     bd = jnp.concatenate([_cbr(p["b3x3dbl_3a"], bd), _cbr(p["b3x3dbl_3b"], bd)], axis=-1)
     bp = _cbr(p["bpool"], avg_pool(x, 3))
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)

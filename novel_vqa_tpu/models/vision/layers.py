@@ -42,6 +42,11 @@ def conv2d(
     # internally, and a same-dtype output is required for the conv
     # TRANSPOSE rule (an f32 cotangent against bf16 operands is rejected),
     # which the weak-paired trainer differentiates through.
+    # TPU-specific caveat: the f32-internal-accumulation guarantee is an MXU
+    # property; on other backends (e.g. the CPU test mesh) XLA may accumulate
+    # bf16, and the bias/ReLU epilogue runs bf16 too — bf16-storage numerics
+    # are therefore backend-dependent (keep CPU-mesh bf16 test tolerances
+    # loose; the documented <=1% extraction deviation bound is TPU-measured).
     w = params["w"]
     preferred = jnp.float32 if w.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(

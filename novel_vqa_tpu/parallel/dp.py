@@ -16,12 +16,39 @@ scalar mean loss`` (both ``arch1.loss_fn`` and ``arch2.loss_fn`` match).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_eval_forward(
+    eval_fn: Callable, cfg, batch_size: int, data_parallel: bool, mesh=None
+):
+    """CLI helper for the eval/LF-compute loops: returns the per-batch
+    forward ``step(params, *batch)`` — a plain ``eval_fn`` partial on one
+    device, or the batch-sharded DP step over the attached mesh when
+    ``--data_parallel`` is set (the full-split inference passes of
+    004_eval_model.lua:202-231 / 003_compute_lf_answers.lua:373-482 are
+    embarrassingly parallel).  The caller's ``pad_to_batch=True`` iteration
+    keeps every batch exactly ``batch_size`` rows, so one divisibility check
+    covers the run."""
+    if not data_parallel:
+        return functools.partial(eval_fn, cfg)
+    from novel_vqa_tpu.parallel.mesh import make_dp_eval_step, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    if batch_size % n_dev:
+        raise ValueError(
+            f"--data_parallel: batch_size {batch_size} not divisible by the "
+            f"mesh's {n_dev} devices"
+        )
+    return make_dp_eval_step(cfg, mesh, eval_fn)
 
 
 def _gather_batch(data, qinds):

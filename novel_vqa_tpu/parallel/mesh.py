@@ -115,11 +115,25 @@ def make_dp_train_step(
     )
 
 
-def make_dp_eval_step(cfg, mesh: Mesh, eval_fn: Callable):
+def make_dp_eval_step(cfg, mesh: Mesh, eval_fn: Callable, n_batch_args: int = 3):
+    """Batch-sharded DP inference forward — the eval-side mirror of
+    ``make_dp_train_step`` (reference workloads: full-split forwards in
+    004_eval_model.lua:202-231 and the three-split LF score precompute,
+    003_compute_lf_answers.lua:373-482 — embarrassingly parallel).
+
+    ``eval_fn(cfg, params, *batch)`` (the ``arch{1,2}.eval_step`` contract);
+    params replicated, each batch array sharded over its leading axis, the
+    output pytree replicated so the host fetch preserves global row order —
+    result batches come back whole and in dispatch order, so the caller's
+    sequential assembly is identical to the single-device path."""
     repl = replicated(mesh)
     data = batch_sharded(mesh)
 
     def step(params, *batch):
-        return eval_fn(params, cfg, *batch)
+        return eval_fn(cfg, params, *batch)
 
-    return jax.jit(step, in_shardings=(repl,) + (data,) * 3)
+    return jax.jit(
+        step,
+        in_shardings=(repl,) + (data,) * n_batch_args,
+        out_shardings=repl,
+    )

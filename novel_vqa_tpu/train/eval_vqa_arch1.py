@@ -23,6 +23,7 @@ from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch1
+from novel_vqa_tpu.parallel.dp import make_eval_forward as _make_eval_forward
 
 
 @dataclasses.dataclass
@@ -44,6 +45,10 @@ class EvalConfig:
     out_path: str = "result/"
     result_name: str = "mscoco_val2014_lstm_novel_new_2"
     seed: int = 123
+    # batch-sharded DP inference over the attached mesh (004_eval_model.lua's
+    # full-split forward is embarrassingly parallel); results are assembled
+    # in global order exactly as the single-device path
+    data_parallel: int = 0
 
 
 def main(argv=None):
@@ -73,11 +78,13 @@ def main(argv=None):
     )
     params = arch1_from_flat(load_flat_h5(opt.model_path), cfg)
 
+    step = _make_eval_forward(arch1.eval_step, cfg, opt.batch_size,
+                              bool(opt.data_parallel))
+
     all_scores = []
     all_qids = []
     for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
-        _, scores = arch1.eval_step(
-            cfg,
+        _, scores = step(
             params,
             jnp.asarray(batch.tokens),
             jnp.asarray(batch.image),

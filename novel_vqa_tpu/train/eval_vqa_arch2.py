@@ -16,6 +16,7 @@ from novel_vqa_tpu.core.checkpoint import arch2_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch2
+from novel_vqa_tpu.parallel.dp import make_eval_forward as _make_eval_forward
 
 
 @dataclasses.dataclass
@@ -38,6 +39,9 @@ class EvalConfig:
     result_name: str = "mscoco_val2014_lstm_novel_new_2"
     dump_scores_h5: str = ""  # write raw score vectors (late-fusion input)
     dump_scores_key: str = "Out"
+    # batch-sharded DP inference over the attached mesh; global-order
+    # assembly identical to the single-device path
+    data_parallel: int = 0
 
 
 def main(argv=None):
@@ -69,10 +73,12 @@ def main(argv=None):
     )
     params = arch2_from_flat(load_flat_h5(opt.model_path), cfg)
 
+    step = _make_eval_forward(arch2.eval_step, cfg, opt.batch_size,
+                              bool(opt.data_parallel))
+
     all_scores, all_qids = [], []
     for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
-        _, scores = arch2.eval_step(
-            cfg,
+        _, scores = step(
             params,
             jnp.asarray(batch.tokens),
             jnp.asarray(batch.image),

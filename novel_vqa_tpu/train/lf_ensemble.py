@@ -28,6 +28,7 @@ def run_compute(args):
     from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
     from novel_vqa_tpu.data.vqa import VQAData
     from novel_vqa_tpu.models.vqa import arch1
+    from novel_vqa_tpu.parallel.dp import make_eval_forward
 
     splits = args.splits.split(",")
     cfg_kwargs = dict(
@@ -51,10 +52,11 @@ def run_compute(args):
             )
             cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
             params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
+            step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
+                                     bool(args.data_parallel))
             scores_all = []
             for batch in data.iter_split(split, args.batch_size, pad_to_batch=True):
-                _, scores = arch1.eval_step(
-                    cfg,
+                _, scores = step(
                     params,
                     jnp.asarray(batch.tokens),
                     jnp.asarray(batch.image),
@@ -132,6 +134,11 @@ def cli(argv=None):
     p.add_argument("--common_embedding_size", default=1024, type=int)
     p.add_argument("--num_output", default=1000, type=int)
     p.add_argument("--fusion", default="axb")
+    p.add_argument(
+        "--data_parallel", default=0, type=int,
+        help="batch-sharded DP forward over the attached mesh "
+        "(003_compute_lf_answers.lua's three-split pass, parallelized)",
+    )
 
     p = sub.add_parser("eval")
     p.add_argument("--scores_h5", default="outputVectors.h5")

@@ -304,13 +304,25 @@ if __name__ == "__main__":
         if os.path.exists(args.out):
             with open(args.out) as f:
                 merged = json.load(f)
+        # metadata travels WITH its rate: when a prior (better) rate is kept,
+        # its companion params/notes must be kept too, or the file would
+        # describe a different run than the one that produced the number
+        companions = {
+            "torch_cpu_qa_pairs_per_sec": ("batch_size", "iters", "note"),
+            "torch_cpu_fc7_images_per_sec": ("fc7_note",),
+            "torch_cpu_text_ae_sentences_per_sec": ("text_ae_note",),
+        }
+        skipped_companions = set()
         for k, v in result.items():
             if (
                 k.startswith("torch_cpu_")
                 and isinstance(merged.get(k), (int, float))
                 and merged[k] >= v
             ):
-                continue  # keep the better prior measurement
+                skipped_companions.update(companions.get(k, ()))
+                continue  # keep the better prior measurement (+ its metadata)
+            if k in skipped_companions:
+                continue
             merged[k] = v
         merged.setdefault(
             "policy_note",

@@ -373,3 +373,46 @@ def test_weakpaired_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1_cnn), jax.tree_util.tree_leaves(p2_cnn)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+def test_dp_eval_forward_matches_single_device():
+    """make_dp_eval_step (eval_vqa_arch{1,2} --data_parallel / lf_ensemble
+    compute --data_parallel) must return the single-device scores in value
+    and global row order (VERDICT round-3 item 5)."""
+    from novel_vqa_tpu.parallel import make_dp_eval_step
+
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=2,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(1)
+    N = 24
+    tokens = rs.randint(0, 40, size=(N, 6)).astype(np.int32)
+    image = rs.randn(N, 16).astype(np.float32)
+    labels = rs.randint(1, 6, size=(N,)).astype(np.int32)
+
+    loss1, scores1 = arch1.eval_step(
+        cfg, params, jnp.asarray(tokens), jnp.asarray(image), jnp.asarray(labels)
+    )
+
+    mesh = make_mesh(8)
+    step = make_dp_eval_step(cfg, mesh, arch1.eval_step)
+    p = jax.device_put(params, replicated(mesh))
+    t, im, lb = shard_batch_arrays(mesh, tokens, image, labels)
+    loss2, scores2 = step(p, t, im, lb)
+
+    np.testing.assert_allclose(np.asarray(scores1), np.asarray(scores2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_make_eval_forward_cli_helper_rejects_indivisible_batch():
+    from novel_vqa_tpu.parallel.dp import make_eval_forward
+
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=1,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        make_eval_forward(arch1.eval_step, cfg, 30, True, mesh=make_mesh(8))

@@ -202,3 +202,19 @@ def test_extract_early_fusion_concat(tmp_path):
     # same random seed -> both halves equal (the concat plumbing is what's
     # under test; different nets/weights produce different halves)
     np.testing.assert_allclose(feats[:, :4096], feats[:, 4096:], rtol=1e-5)
+
+
+def test_inception_branch_fusion_equivalence(monkeypatch):
+    """The same-input 1x1 branch fusion (inception._cbr_multi) computes every
+    output channel with the identical contraction as the separate convs, and
+    BN/ReLU are per-channel — outputs must match the unfused path to float
+    tolerance (docs/PERF.md Inception record, VERDICT round-3 item 4)."""
+    cfg = inception.InceptionConfig(image_size=299)
+    params = inception.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 299, 299, 3), jnp.float32)
+
+    monkeypatch.setenv("NOVEL_VQA_INC_FUSE", "1")
+    fused = np.asarray(inception.apply(params, cfg, x, tap="pool"))
+    monkeypatch.setenv("NOVEL_VQA_INC_FUSE", "0")
+    unfused = np.asarray(inception.apply(params, cfg, x, tap="pool"))
+    np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-5)
