@@ -63,7 +63,7 @@ def _branch_fusion_on() -> bool:
     return os.environ.get("NOVEL_VQA_INC_FUSE", "1") != "0"
 
 
-def _cbr_multi(units, x):
+def _cbr_multi(units, x, pool_last: bool = False):
     """Same-input 1x1 conv+BN+ReLU branches computed as ONE conv.
 
     Inception's parallel branches open with narrow 1x1 convs on the SAME
@@ -73,16 +73,30 @@ def _cbr_multi(units, x):
     Concatenating the weights along C_out turns k narrow GEMMs into one
     wide one; every output channel is computed by exactly the same
     contraction as in the separate convs, and BN/ReLU are per-channel, so
-    applying them on the concatenated output is bitwise-identical math —
-    this is pure op-count/lane-fill surgery, no approximation.  The params
-    tree is untouched (importers/checkpoints unchanged); the concat is
-    traced per compile and fuses into the conv's weight read.
+    applying them on the concatenated output is identical math — pure
+    op-count/lane-fill surgery, no approximation.  The params tree is
+    untouched (importers/checkpoints unchanged); the concat is traced per
+    compile and fuses into the conv's weight read.
+
+    ``pool_last``: the LAST unit is a pool-projection branch — in the
+    reference graph it reads ``avg_pool(x, 3)`` (stride 1, SAME).  Our
+    ``avg_pool`` divides by the true window count (exclude-pad), making it
+    a channel-wise linear map with row sums 1, so it commutes EXACTLY with
+    the per-channel affine conv1x1+BN: BN(conv(avg(x))) == avg(BN(conv(x)))
+    (algebraically; float reassociation only).  The branch therefore joins
+    the fused GEMM, with its avg_pool applied to the pre-ReLU slice and
+    ReLU after — same FLOPs (the pool is stride 1), one more narrow GEMM
+    absorbed into the wide one.
 
     Returns the per-branch outputs (list, in ``units`` order).
     """
     sizes = [u["conv"]["w"].shape[-1] for u in units]
     if not _branch_fusion_on():
-        return [_cbr(u, x) for u in units]
+        outs = []
+        for k, u in enumerate(units):
+            inp = avg_pool(x, 3) if (pool_last and k == len(units) - 1) else x
+            outs.append(_cbr(u, inp))
+        return outs
     w = jnp.concatenate([u["conv"]["w"] for u in units], axis=-1)
     y = jax.lax.conv_general_dilated(
         x.astype(w.dtype),
@@ -96,11 +110,17 @@ def _cbr_multi(units, x):
         k: jnp.concatenate([u["bn"][k] for u in units])
         for k in ("scale", "offset", "mean", "var")
     }
-    y = jnp.maximum(batch_norm(bn, y), 0.0)
+    y = batch_norm(bn, y)
     offs = [0]
     for s in sizes:
         offs.append(offs[-1] + s)
-    return [y[..., offs[i] : offs[i + 1]] for i in range(len(units))]
+    outs = []
+    for k in range(len(units)):
+        part = y[..., offs[k] : offs[k + 1]]
+        if pool_last and k == len(units) - 1:
+            part = avg_pool(part, 3)
+        outs.append(jnp.maximum(part, 0.0))
+    return outs
 
 
 def _stem_conv_s2d(p, x):
@@ -162,12 +182,13 @@ def _inception_a_init(kg, c_in, pool_features):
 
 
 def _inception_a(p, x):
-    # the three same-input 1x1 branch heads run as one 64+48+64-wide GEMM
-    # (bpool's 1x1 sees the pooled input, so it stays separate)
-    b1, b5, b3 = _cbr_multi([p["b1x1"], p["b5x5_1"], p["b3x3dbl_1"]], x)
+    # ALL four 1x1 branch heads run as one 64+48+64+pool-wide GEMM (the
+    # pool branch joins via the avg_pool/conv+BN commute — see _cbr_multi)
+    b1, b5, b3, bp = _cbr_multi(
+        [p["b1x1"], p["b5x5_1"], p["b3x3dbl_1"], p["bpool"]], x, pool_last=True
+    )
     b5 = _cbr(p["b5x5_2"], b5)
     b3 = _cbr(p["b3x3dbl_3"], _cbr(p["b3x3dbl_2"], b3))
-    bp = _cbr(p["bpool"], avg_pool(x, 3))
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -204,12 +225,13 @@ def _inception_c_init(kg, c_in, c7):
 
 
 def _inception_c(p, x):
-    # 192 + c7 + c7 same-input 1x1 heads as one GEMM (512-576 wide)
-    b1, b7, bd = _cbr_multi([p["b1x1"], p["b7x7_1"], p["b7x7dbl_1"]], x)
+    # 192 + c7 + c7 + 192(pool) same-input 1x1 heads as one 704-768-wide GEMM
+    b1, b7, bd, bp = _cbr_multi(
+        [p["b1x1"], p["b7x7_1"], p["b7x7dbl_1"], p["bpool"]], x, pool_last=True
+    )
     b7 = _cbr(p["b7x7_3"], _cbr(p["b7x7_2"], b7))
     for name in ("b7x7dbl_2", "b7x7dbl_3", "b7x7dbl_4", "b7x7dbl_5"):
         bd = _cbr(p[name], bd)
-    bp = _cbr(p["bpool"], avg_pool(x, 3))
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -249,12 +271,13 @@ def _inception_e_init(kg, c_in):
 
 
 def _inception_e(p, x):
-    # 320 + 384 + 448 same-input 1x1 heads as one 1152-wide GEMM
-    b1, b3, bd = _cbr_multi([p["b1x1"], p["b3x3_1"], p["b3x3dbl_1"]], x)
+    # 320 + 384 + 448 + 192(pool) same-input 1x1 heads as one 1344-wide GEMM
+    b1, b3, bd, bp = _cbr_multi(
+        [p["b1x1"], p["b3x3_1"], p["b3x3dbl_1"], p["bpool"]], x, pool_last=True
+    )
     b3 = jnp.concatenate([_cbr(p["b3x3_2a"], b3), _cbr(p["b3x3_2b"], b3)], axis=-1)
     bd = _cbr(p["b3x3dbl_2"], bd)
     bd = jnp.concatenate([_cbr(p["b3x3dbl_3a"], bd), _cbr(p["b3x3dbl_3b"], bd)], axis=-1)
-    bp = _cbr(p["bpool"], avg_pool(x, 3))
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 

@@ -377,6 +377,18 @@ def lstm_encode(
             from novel_vqa_tpu.ops.pallas_lstm import pallas_lstm_encode
 
             return pallas_lstm_encode(params, xs, mask)
+        if (
+            os.environ.get("NOVEL_VQA_FUSED2", "0") == "1"
+            and num_layers == 2
+        ):
+            # round-4 A/B route: both layers' recurrences in ONE Pallas
+            # kernel (wavefront inside, weights VMEM-resident, bf16
+            # storage) + a single combined hand-structured backward — the
+            # fused-recurrence attempt at the 2.29 ms structural-floor
+            # question (docs/PERF.md round-4 record)
+            from novel_vqa_tpu.ops.pallas_lstm2 import fused2_encode_train
+
+            return fused2_encode_train(params, xs, mask, dropout_rate, rng)
         if os.environ.get("NOVEL_VQA_SEQ_TRAIN", "0") == "1":
             # per-layer full-sequence kernels + hand-structured backward
             # (weight grads as single big matmuls) — A/B route; the per-step

@@ -81,8 +81,23 @@ def main(argv=None):
     step = _make_eval_forward(arch1.eval_step, cfg, opt.batch_size,
                               bool(opt.data_parallel))
 
+    # deep-pipelined full-split forward: keep several batches in flight and
+    # defer the score fetch, so upload, device compute, and copy-back
+    # overlap instead of paying a serialized link round trip per batch
+    # (same fix as the extraction loop — the rehearsal measured the
+    # unpipelined eval of 121,512 questions at 611 s, round 4)
+    from collections import deque
+
     all_scores = []
     all_qids = []
+    pending = deque()
+
+    def drain(limit):
+        while len(pending) > limit:
+            s, qid = pending.popleft()
+            all_scores.append(np.asarray(s)[: len(qid)])
+            all_qids.append(qid)
+
     for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
         _, scores = step(
             params,
@@ -90,9 +105,13 @@ def main(argv=None):
             jnp.asarray(batch.image),
             jnp.asarray(batch.labels),
         )
-        real = len(batch.question_id)
-        all_scores.append(np.asarray(scores)[:real])
-        all_qids.append(batch.question_id)
+        try:
+            scores.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append((scores, batch.question_id))
+        drain(3)
+    drain(0)
     scores = np.concatenate(all_scores)
     qids = np.concatenate(all_qids)
 

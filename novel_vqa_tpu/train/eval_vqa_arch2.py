@@ -76,7 +76,18 @@ def main(argv=None):
     step = _make_eval_forward(arch2.eval_step, cfg, opt.batch_size,
                               bool(opt.data_parallel))
 
+    # deep-pipelined forward with deferred fetches (see eval_vqa_arch1)
+    from collections import deque
+
     all_scores, all_qids = [], []
+    pending = deque()
+
+    def drain(limit):
+        while len(pending) > limit:
+            s, qid = pending.popleft()
+            all_scores.append(np.asarray(s)[: len(qid)])
+            all_qids.append(qid)
+
     for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
         _, scores = step(
             params,
@@ -84,9 +95,13 @@ def main(argv=None):
             jnp.asarray(batch.image),
             jnp.asarray(batch.labels),
         )
-        real = len(batch.question_id)
-        all_scores.append(np.asarray(scores)[:real])
-        all_qids.append(batch.question_id)
+        try:
+            scores.copy_to_host_async()
+        except Exception:
+            pass
+        pending.append((scores, batch.question_id))
+        drain(3)
+    drain(0)
     scores = np.concatenate(all_scores)
     qids = np.concatenate(all_qids)
 

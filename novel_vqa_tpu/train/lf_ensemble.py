@@ -54,7 +54,17 @@ def run_compute(args):
             params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
             step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
                                      bool(args.data_parallel))
+            # deep-pipelined forward with deferred fetches (see eval_vqa_arch1)
+            from collections import deque
+
             scores_all = []
+            pending = deque()
+
+            def drain(limit):
+                while len(pending) > limit:
+                    s, real = pending.popleft()
+                    scores_all.append(np.asarray(s)[:real])
+
             for batch in data.iter_split(split, args.batch_size, pad_to_batch=True):
                 _, scores = step(
                     params,
@@ -62,7 +72,13 @@ def run_compute(args):
                     jnp.asarray(batch.image),
                     jnp.asarray(batch.labels),
                 )
-                scores_all.append(np.asarray(scores)[: len(batch.question_id)])
+                try:
+                    scores.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((scores, len(batch.question_id)))
+                drain(3)
+            drain(0)
             key = f"{args.prefix}Out{split.capitalize()}"
             if key in out:
                 del out[key]

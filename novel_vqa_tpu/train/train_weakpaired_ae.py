@@ -117,6 +117,10 @@ class WPTrainConfig:
     # optimizers, f32 AE side — the fc7 features are upcast before the
     # L2-norm).  Default f32 matches the reference numerics.
     compute_dtype: str = "float32"
+    # 1 = rematerialize the CNN forward in the finetune-phase backward
+    # (jax.checkpoint): trades a second trunk forward for not storing conv
+    # activations — A/B'd on device time in docs/PERF.md (weak-paired table)
+    remat: int = 0
 
 
 def build_cnn(opt: WPTrainConfig, with_projection: bool, rng):
@@ -226,6 +230,7 @@ def make_train_step(
     ae_tx: optax.GradientTransformation,
     cnn_tx: optax.GradientTransformation,
     mesh=None,
+    remat: bool = False,
 ):
     """Build the fused weak-paired train step: device-side crop/normalize ->
     CNN fwd -> AE fwd/bwd -> BOTH optimizer updates as one jitted program,
@@ -270,9 +275,10 @@ def make_train_step(
         def step(ae_params, ae_opt_state, cnn_params, cnn_opt_state,
                  images_u8, offsets, seq, sent_input, seq_input, rng):
             images = prepro_wp_images(images_u8, offsets, crop_size)
+            cnn_fwd = jax.checkpoint(cnn_apply) if remat else cnn_apply
 
             def full_loss(ae_params, cnn_params):
-                feats = cnn_apply(cnn_params, images)
+                feats = cnn_fwd(cnn_params, images)
                 return loss_from_feats(
                     ae_params, feats, seq, sent_input, seq_input, skip, rng
                 )
@@ -424,7 +430,8 @@ def main(argv=None):
         tm_sharding = NamedSharding(mesh, P(None, "data"))
 
     train_step = make_train_step(
-        cfg, opt.variant, opt.crop_size, cnn_apply, ae_tx, cnn_tx, mesh=mesh
+        cfg, opt.variant, opt.crop_size, cnn_apply, ae_tx, cnn_tx, mesh=mesh,
+        remat=bool(opt.remat),
     )
 
     @jax.jit

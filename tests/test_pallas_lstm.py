@@ -192,3 +192,87 @@ def test_seq_kernel_gradients():
     g_pl = jax.grad(loss_pl, argnums=(0, 1))(layers, xs)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pl)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused2_encode_matches_reference_with_same_mask():
+    """The fused 2-layer wavefront kernel (ops/pallas_lstm2, interpreter
+    mode) must match an XLA reference computing the same math with the SAME
+    dropout multiplier — outputs and all input/weight grads (bf16 storage =>
+    loose-ish tolerances)."""
+    import jax
+
+    from novel_vqa_tpu.ops import pallas_lstm2 as pl2
+    from novel_vqa_tpu.ops.lstm import lstm_layer_init
+
+    rs = np.random.RandomState(0)
+    T, N, In, H = 5, 12, 24, 16
+    k = jax.random.PRNGKey(0)
+    layers = [
+        lstm_layer_init(jax.random.fold_in(k, 1), In, H),
+        lstm_layer_init(jax.random.fold_in(k, 2), H, H),
+    ]
+    xs = jnp.asarray(rs.randn(T, N, In), jnp.float32)
+    lengths = rs.randint(1, T + 1, size=N)
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] >= (T - lengths[None, :])).astype(np.float32)
+    )
+    drop = jnp.asarray(rs.binomial(1, 0.5, size=(T, N, H)) * 2.0, jnp.float32)
+
+    def ref(args):
+        l1wx, l1wh, l1b, l2wx, l2wh, l2b, xs_ = args
+        c1 = h1 = c2 = h2 = jnp.zeros((N, H), jnp.float32)
+        for t in range(T):
+            g1 = xs_[t] @ l1wx + h1 @ l1wh + l1b
+            i, f, o, g = (jax.nn.sigmoid(g1[:, :H]), jax.nn.sigmoid(g1[:, H:2*H]),
+                          jax.nn.sigmoid(g1[:, 2*H:3*H]), jnp.tanh(g1[:, 3*H:]))
+            c1n = f * c1 + i * g
+            h1n = o * jnp.tanh(c1n)
+            m = mask[t][:, None]
+            c1 = jnp.where(m > 0, c1n, c1)
+            h1 = jnp.where(m > 0, h1n, h1)
+            d = h1 * drop[t]
+            g2 = d @ l2wx + h2 @ l2wh + l2b
+            i, f, o, g = (jax.nn.sigmoid(g2[:, :H]), jax.nn.sigmoid(g2[:, H:2*H]),
+                          jax.nn.sigmoid(g2[:, 2*H:3*H]), jnp.tanh(g2[:, 3*H:]))
+            c2n = f * c2 + i * g
+            h2n = o * jnp.tanh(c2n)
+            c2 = jnp.where(m > 0, c2n, c2)
+            h2 = jnp.where(m > 0, h2n, h2)
+        return c1, h1, c2, h2
+
+    def fused(args):
+        l1wx, l1wh, l1b, l2wx, l2wh, l2b, xs_ = args
+        bf = jnp.bfloat16
+        return pl2._fused2(
+            xs_.astype(bf), mask, drop.astype(bf),
+            l1wx.astype(bf), l1wh.astype(bf), l1b.astype(bf),
+            l2wx.astype(bf), l2wh.astype(bf), l2b.astype(bf),
+            8, True,  # tile_n=8, interpret
+        )
+
+    args = (
+        layers[0]["wx"], layers[0]["wh"], layers[0]["bx"] + layers[0]["bh"],
+        layers[1]["wx"], layers[1]["wh"], layers[1]["bx"] + layers[1]["bh"],
+        xs,
+    )
+    out_r = ref(args)
+    out_f = fused(args)
+    for a, b in zip(out_r, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-2, atol=3e-2)
+
+    # grads of a scalar functional of all four outputs
+    cot = [jnp.asarray(rs.randn(N, H), jnp.float32) for _ in range(4)]
+
+    def scal(f):
+        def g(args):
+            out = f(args)
+            return sum(jnp.sum(o.astype(jnp.float32) * c) for o, c in zip(out, cot))
+        return g
+
+    g_r = jax.grad(scal(ref))(args)
+    g_f = jax.grad(scal(fused))(args)
+    for a, b in zip(g_r, g_f):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        scale = np.abs(np.asarray(a)).max() + 1e-3
+        assert d.max() / scale < 5e-2, (d.max(), scale)

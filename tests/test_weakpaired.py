@@ -271,3 +271,46 @@ def test_wp_trainer_bf16_cnn_storage(wp_files):
     flat2, _ = load_npz(os.path.join(ckpt2, "model_id.npz"))
     key = sorted(cnn_leaves)[0]
     assert np.abs(flat[key] - flat2[key]).sum() > 0
+
+
+def test_wp_remat_matches_plain_step():
+    """--remat rematerializes the CNN forward in the finetune backward
+    (jax.checkpoint) — pure memory/FLOP trade, identical updates."""
+    import jax
+
+    from novel_vqa_tpu.models.seq import autoencoder as ae
+    from novel_vqa_tpu.train.train_weakpaired_ae import (
+        WPTrainConfig, build_cnn, make_ae_tx, make_cnn_tx, make_train_step,
+    )
+
+    rs = np.random.RandomState(0)
+    batch = 4
+    opt = WPTrainConfig(batch_size=batch, crop_size=32, image_size=40,
+                        variant="vqa_arch", rnn_size=12, input_encoding_size=16)
+    cfg = ae.AEConfig(
+        vocab_size=V, input_encoding_size=16, rnn_size=12, num_layers=1,
+        seq_length=L, variant="vqa_arch", nhimage=4096,
+    )
+    rng0 = jnp.asarray(np.asarray([0, 123], np.uint32))
+    ae_params = ae.init_params(rng0, cfg)
+    cnn_params, cnn_apply, _ = build_cnn(opt, False, rng0)
+    ae_tx, cnn_tx = make_ae_tx(opt), make_cnn_tx(opt)
+    ae_opt, cnn_opt = ae_tx.init(ae_params), cnn_tx.init(cnn_params)
+
+    images = jnp.asarray(rs.randint(0, 256, size=(batch, 40, 40, 3), dtype=np.uint8))
+    offsets = jnp.asarray(rs.randint(0, 9, size=(batch, 2)), jnp.int32)
+    seq = jnp.asarray(rs.randint(1, V + 1, size=(L, batch)), jnp.int32)
+    sent = jnp.zeros((batch, 2 * cfg.rnn_size), jnp.float32)
+    key = jnp.asarray(np.asarray([0, 7], np.uint32))
+
+    outs = []
+    for remat in (False, True):
+        step = make_train_step(cfg, "vqa_arch", 32, cnn_apply, ae_tx, cnn_tx,
+                               remat=remat)
+        outs.append(step(False, True, ae_params, ae_opt, cnn_params, cnn_opt,
+                         images, offsets, seq, sent, None, key))
+    np.testing.assert_allclose(float(outs[0][4]), float(outs[1][4]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][2]),
+                    jax.tree_util.tree_leaves(outs[1][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
