@@ -9,6 +9,10 @@ novel_vqa_tpu/core/device_bench.py).
     /root/reference/002_train_vqa_arch1/001_prepro_img_vgg.lua:101-113,
     including the host decode-pool rate AND a *measured* sustained rate from
     the real pipelined extraction loop (not just the min(stages) model);
+  * secondary — Inception-v3 pool-tap extraction (images/sec/chip) at the
+    recommended bs-128 bf16 branch-fused config, workload
+    /root/reference/002_train_vqa_arch1/001_prepro_img_inc.lua:34-57
+    (BENCH_SKIP_INC=1 to skip, BENCH_INC_BATCH/_DTYPE for the sweep);
   * secondary — text-AE pretraining (sentences/sec/chip), workload
     /root/reference/001_train_autoencoder/001_train_arch1_text_autoencoder.lua:148-249,
     with a val-loss sanity figure;
@@ -484,9 +488,6 @@ def bench_weakpaired():
         state[0], state[1], state[2], state[3] = out[:4]
         return out[4]
 
-    loss = one_step(step_rngs[-1])  # compile + warm (finetune specialisation)
-    jax.device_get(loss)
-
     # FLOPs from the compiled step; the AE's encode/decode lax.scans
     # under-report (loop body counted once — CLAUDE.md caveat) but the VGG
     # fwd+bwd dominates by ~2 orders of magnitude, so cross-check against the
@@ -510,6 +511,14 @@ def bench_weakpaired():
 
     def chunk():
         return one_step(step_rngs[next(it)])
+
+    # compile + warm (finetune specialisation) DIRECTLY before the wall
+    # window: a dispatch after the cost_analysis remote compile (or a prior
+    # workload's trace teardown) can stall ~10s through the tunnel, and with
+    # the warmup earlier that stall landed inside the window (the 17.9
+    # wall-img/s artifact in the round-4 dress rehearsal)
+    loss = one_step(step_rngs[-1])
+    jax.device_get(loss)
 
     # untraced wall window (see bench_train)
     t0 = time.perf_counter()
@@ -720,6 +729,94 @@ def bench_fc7():
     return rec
 
 
+def bench_inception():
+    """Secondary: Inception-v3 pool-tap extraction at the recommended config
+    (bs 128, bf16 storage, 4-way branch fusion — docs/PERF.md round-4 A/B),
+    workload /root/reference/002_train_vqa_arch1/001_prepro_img_inc.lua:34-57.
+    Pure device metric (synthetic fixed weights, pre-staged batches) like the
+    PERF sweep rows; ~7-8 min through the tunnel (compile + trace), skippable
+    with BENCH_SKIP_INC=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core import device_bench as db
+    from novel_vqa_tpu.data.images import inception_device_prepro
+    from novel_vqa_tpu.models.vision import inception as inc
+    from novel_vqa_tpu.models.vision.layers import bf16_storage_cast
+
+    batch = int(os.environ.get("BENCH_INC_BATCH", 128))
+    dtype = os.environ.get("BENCH_INC_DTYPE", "bfloat16")
+    steps = int(os.environ.get("BENCH_INC_STEPS", 20))
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"BENCH_INC_DTYPE={dtype!r}: must be 'float32' or 'bfloat16'"
+        )
+
+    cfg = inc.InceptionConfig()
+    params = jax.device_get(inc.init_params(jax.random.PRNGKey(123), cfg))
+    if dtype == "bfloat16":
+        params = bf16_storage_cast(params)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    @jax.jit
+    def forward(params, u8, missing):
+        return inc.apply(
+            params, cfg, inception_device_prepro(u8, missing), tap="pool"
+        )
+
+    rs = np.random.RandomState(0)
+    batches = [
+        (
+            jnp.asarray(
+                rs.randint(0, 256, size=(batch, 299, 299, 3), dtype=np.uint8)
+            ),
+            jnp.asarray(np.zeros(batch, bool)),
+        )
+        for _ in range(4)
+    ]
+    out = forward(params, *batches[0])
+    jax.device_get(out)
+
+    flops = None
+    try:
+        cost = forward.lower(params, *batches[0]).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:  # diagnostics only
+        _log("inception: cost_analysis unavailable:", repr(e))
+
+    it = iter(range(steps))
+
+    def one():
+        return forward(params, *batches[next(it) % len(batches)])
+
+    timing = db.measure_device_time(one, steps)
+    dev_s, n_mod = timing.module_seconds("jit_forward")
+    if dev_s is not None and n_mod != steps:
+        _log(f"inception: WARNING trace captured {n_mod}/{steps} batches")
+        dev_s = dev_s * steps / n_mod
+    rec = db.summarize(
+        flops_per_step=flops,
+        device_s=dev_s,
+        n_steps=steps,
+        items_per_step=batch,
+        wall_s=timing.wall_s,
+        peak=db.peak_flops(),
+    )
+    rec.update(
+        {
+            "metric": "inception_extraction_throughput",
+            "unit": "images_per_sec_per_chip",
+            "value": rec.get("items_per_sec"),
+            "batch_size": batch,
+            "compute_dtype": dtype,
+            "branch_fusion": os.environ.get("NOVEL_VQA_INC_FUSE", "1") != "0",
+        }
+    )
+    return rec
+
+
 def main():
     train = bench_train()
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -743,6 +840,11 @@ def main():
             secondary.append(fc7)
         except Exception as e:  # keep the primary metric robust
             _log("fc7 bench failed:", repr(e))
+    if os.environ.get("BENCH_SKIP_INC", "0") != "1":
+        try:
+            secondary.append(bench_inception())
+        except Exception as e:  # keep the primary metric robust
+            _log("inception bench failed:", repr(e))
     if os.environ.get("BENCH_ARCH2", "0") == "1":
         try:
             secondary.append(bench_arch2())
