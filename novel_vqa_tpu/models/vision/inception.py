@@ -43,21 +43,28 @@ def _cbr_init(rng, kh, kw, c_in, c_out):
 
 def _cbr(p, x, stride=(1, 1), padding="SAME"):
     # input follows the conv weight dtype (bf16-storage mode: see
-    # layers.conv2d); BN runs on the f32 accumulator output either way
+    # layers.conv2d); f32 weights pin f32 accumulation, bf16 weights take
+    # the natural bf16 output — required for the conv TRANSPOSE rule (an
+    # f32 cotangent against bf16 operands is rejected), which the
+    # weak-paired finetune differentiates through (--cnn_arch inception
+    # --compute_dtype bfloat16).  BN upcasts to f32 via its f32 stats.
+    w = p["conv"]["w"]
     y = jax.lax.conv_general_dilated(
-        x.astype(p["conv"]["w"].dtype),
-        p["conv"]["w"],
+        x.astype(w.dtype),
+        w,
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
     )
     return jnp.maximum(batch_norm(p["bn"], y), 0.0)
 
 
 def _branch_fusion_on() -> bool:
     # A/B knob for the same-input 1x1 branch fusion (docs/PERF.md Inception
-    # record); read at trace time, so flipping it forces a retrace
+    # record).  Read at TRACE time: it affects newly traced programs only —
+    # an already-jitted forward keeps whatever route was compiled in, so
+    # A/B runs must flip it per PROCESS (as bench/inc_ab do), not mid-run.
     import os
 
     return os.environ.get("NOVEL_VQA_INC_FUSE", "1") != "0"
@@ -104,7 +111,9 @@ def _cbr_multi(units, x, pool_last: bool = False):
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        # f32-weights pin f32 accumulation; bf16 weights take the natural
+        # bf16 output so the conv stays differentiable (see _cbr)
+        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
     )
     bn = {
         k: jnp.concatenate([u["bn"][k] for u in units])
@@ -225,7 +234,8 @@ def _inception_c_init(kg, c_in, c7):
 
 
 def _inception_c(p, x):
-    # 192 + c7 + c7 + 192(pool) same-input 1x1 heads as one 704-768-wide GEMM
+    # 192 + c7 + c7 + 192(pool) same-input 1x1 heads as one 640-768-wide
+    # GEMM (c7 = 128/160/160/192 across the four C blocks)
     b1, b7, bd, bp = _cbr_multi(
         [p["b1x1"], p["b7x7_1"], p["b7x7dbl_1"], p["bpool"]], x, pool_last=True
     )

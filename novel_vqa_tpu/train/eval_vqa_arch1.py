@@ -23,7 +23,10 @@ from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch1
-from novel_vqa_tpu.parallel.dp import make_eval_forward as _make_eval_forward
+from novel_vqa_tpu.parallel.dp import (
+    DeferredFetch,
+    make_eval_forward as _make_eval_forward,
+)
 
 
 @dataclasses.dataclass
@@ -81,23 +84,11 @@ def main(argv=None):
     step = _make_eval_forward(arch1.eval_step, cfg, opt.batch_size,
                               bool(opt.data_parallel))
 
-    # deep-pipelined full-split forward: keep several batches in flight and
-    # defer the score fetch, so upload, device compute, and copy-back
-    # overlap instead of paying a serialized link round trip per batch
-    # (same fix as the extraction loop — the rehearsal measured the
-    # unpipelined eval of 121,512 questions at 611 s, round 4)
-    from collections import deque
-
-    all_scores = []
-    all_qids = []
-    pending = deque()
-
-    def drain(limit):
-        while len(pending) > limit:
-            s, qid = pending.popleft()
-            all_scores.append(np.asarray(s)[: len(qid)])
-            all_qids.append(qid)
-
+    # deep-pipelined full-split forward (parallel.dp.DeferredFetch): deferred
+    # async fetches overlap upload, device compute, and copy-back instead of
+    # paying a serialized link round trip per batch (the rehearsal measured
+    # the unpipelined eval of 121,512 questions at 611 s, round 4)
+    fetch = DeferredFetch()
     for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
         _, scores = step(
             params,
@@ -105,15 +96,9 @@ def main(argv=None):
             jnp.asarray(batch.image),
             jnp.asarray(batch.labels),
         )
-        try:
-            scores.copy_to_host_async()
-        except Exception:
-            pass
-        pending.append((scores, batch.question_id))
-        drain(3)
-    drain(0)
-    scores = np.concatenate(all_scores)
-    qids = np.concatenate(all_qids)
+        fetch.put(scores, batch.question_id)
+    scores = np.concatenate([s[: len(q)] for s, q in fetch.results()])
+    qids = np.concatenate([q for _, q in fetch.results()])
 
     ix_to_ans = data.ix_to_ans
     pred = scores.argmax(axis=1) + 1  # 1-indexed answer ids

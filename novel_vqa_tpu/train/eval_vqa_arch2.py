@@ -16,7 +16,10 @@ from novel_vqa_tpu.core.checkpoint import arch2_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch2
-from novel_vqa_tpu.parallel.dp import make_eval_forward as _make_eval_forward
+from novel_vqa_tpu.parallel.dp import (
+    DeferredFetch,
+    make_eval_forward as _make_eval_forward,
+)
 
 
 @dataclasses.dataclass
@@ -76,18 +79,9 @@ def main(argv=None):
     step = _make_eval_forward(arch2.eval_step, cfg, opt.batch_size,
                               bool(opt.data_parallel))
 
-    # deep-pipelined forward with deferred fetches (see eval_vqa_arch1)
-    from collections import deque
-
-    all_scores, all_qids = [], []
-    pending = deque()
-
-    def drain(limit):
-        while len(pending) > limit:
-            s, qid = pending.popleft()
-            all_scores.append(np.asarray(s)[: len(qid)])
-            all_qids.append(qid)
-
+    # deep-pipelined forward with deferred fetches (parallel.dp.DeferredFetch,
+    # see eval_vqa_arch1)
+    fetch = DeferredFetch()
     for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
         _, scores = step(
             params,
@@ -95,15 +89,9 @@ def main(argv=None):
             jnp.asarray(batch.image),
             jnp.asarray(batch.labels),
         )
-        try:
-            scores.copy_to_host_async()
-        except Exception:
-            pass
-        pending.append((scores, batch.question_id))
-        drain(3)
-    drain(0)
-    scores = np.concatenate(all_scores)
-    qids = np.concatenate(all_qids)
+        fetch.put(scores, batch.question_id)
+    scores = np.concatenate([s[: len(q)] for s, q in fetch.results()])
+    qids = np.concatenate([q for _, q in fetch.results()])
 
     ix_to_ans = data.ix_to_ans
     pred = scores.argmax(axis=1) + 1

@@ -28,7 +28,7 @@ def run_compute(args):
     from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
     from novel_vqa_tpu.data.vqa import VQAData
     from novel_vqa_tpu.models.vqa import arch1
-    from novel_vqa_tpu.parallel.dp import make_eval_forward
+    from novel_vqa_tpu.parallel.dp import DeferredFetch, make_eval_forward
 
     splits = args.splits.split(",")
     cfg_kwargs = dict(
@@ -41,6 +41,10 @@ def run_compute(args):
         fusion=args.fusion,
     )
 
+    # the model/forward are split-independent (same model_path, same vocab):
+    # build them ONCE so the jitted step compiles once for all three
+    # full-split passes (tunnel compiles cost minutes each — docs/PERF.md)
+    params = step = None
     with h5py.File(args.out_h5, "a") as out:
         for split in splits:
             data = VQAData(
@@ -50,21 +54,14 @@ def run_compute(args):
                 img_norm=bool(args.img_norm),
                 load_test=(split == "test"),
             )
-            cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
-            params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
-            step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
-                                     bool(args.data_parallel))
-            # deep-pipelined forward with deferred fetches (see eval_vqa_arch1)
-            from collections import deque
-
-            scores_all = []
-            pending = deque()
-
-            def drain(limit):
-                while len(pending) > limit:
-                    s, real = pending.popleft()
-                    scores_all.append(np.asarray(s)[:real])
-
+            if step is None:
+                cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
+                params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
+                step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
+                                         bool(args.data_parallel))
+            # deep-pipelined forward with deferred fetches
+            # (parallel.dp.DeferredFetch, see eval_vqa_arch1)
+            fetch = DeferredFetch()
             for batch in data.iter_split(split, args.batch_size, pad_to_batch=True):
                 _, scores = step(
                     params,
@@ -72,13 +69,8 @@ def run_compute(args):
                     jnp.asarray(batch.image),
                     jnp.asarray(batch.labels),
                 )
-                try:
-                    scores.copy_to_host_async()
-                except Exception:
-                    pass
-                pending.append((scores, len(batch.question_id)))
-                drain(3)
-            drain(0)
+                fetch.put(scores, len(batch.question_id))
+            scores_all = [s[:real] for s, real in fetch.results()]
             key = f"{args.prefix}Out{split.capitalize()}"
             if key in out:
                 del out[key]

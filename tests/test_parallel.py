@@ -416,3 +416,23 @@ def test_make_eval_forward_cli_helper_rejects_indivisible_batch():
     )
     with pytest.raises(ValueError, match="not divisible"):
         make_eval_forward(arch1.eval_step, cfg, 30, True, mesh=make_mesh(8))
+
+
+def test_deferred_fetch_order_and_depth():
+    """parallel.dp.DeferredFetch must return results in put order with metas
+    intact, materializing lazily (at most `depth` pending) — the shared
+    helper behind the eval_vqa_arch1/2 and lf_ensemble pipelined loops."""
+    from novel_vqa_tpu.parallel.dp import DeferredFetch
+
+    fetch = DeferredFetch(depth=2)
+    arrays = [jnp.full((3,), i, jnp.float32) for i in range(5)]
+    for i, a in enumerate(arrays):
+        fetch.put(a, ("meta", i))
+        assert len(fetch._q) <= 2
+    out = fetch.results()
+    assert [m for _, m in out] == [("meta", i) for i in range(5)]
+    for i, (s, _) in enumerate(out):
+        assert isinstance(s, np.ndarray)
+        np.testing.assert_array_equal(s, np.full((3,), i, np.float32))
+    # results() is idempotent
+    assert fetch.results() is out

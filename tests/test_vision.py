@@ -218,3 +218,33 @@ def test_inception_branch_fusion_equivalence(monkeypatch):
     monkeypatch.setenv("NOVEL_VQA_INC_FUSE", "0")
     unfused = np.asarray(inception.apply(params, cfg, x, tap="pool"))
     np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-5)
+
+
+def test_inception_bf16_storage_differentiable():
+    """bf16-storage Inception must stay differentiable: the weak-paired
+    finetune (`--cnn_arch inception --compute_dtype bfloat16`) takes grads
+    through the trunk, and pinning ``preferred_element_type=f32`` on a
+    bf16-weight conv makes the conv TRANSPOSE rule reject the f32 cotangent
+    (see layers.conv2d / inception._cbr).  Exercises the fused-GEMM
+    _cbr_multi path (incl. the pool branch) on one InceptionA block."""
+    from novel_vqa_tpu.models.vision.layers import bf16_storage_cast
+
+    kg_key = [jax.random.PRNGKey(7)]
+
+    def kg():
+        kg_key[0], k = jax.random.split(kg_key[0])
+        return k
+
+    p = inception._inception_a_init(kg, 16, 8)
+    p_bf = bf16_storage_cast(p)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 9, 9, 16), jnp.float32)
+
+    def loss(params, x):
+        return jnp.sum(inception._inception_a(params, x).astype(jnp.float32))
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(p_bf, x)
+    assert all(
+        np.isfinite(np.asarray(g, np.float32)).all()
+        for g in jax.tree_util.tree_leaves(gp)
+    )
+    assert np.isfinite(np.asarray(gx)).all()
