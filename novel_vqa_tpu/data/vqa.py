@@ -136,6 +136,29 @@ class VQAData:
             labels=self.d["answers_train"][qinds].astype(np.int32),
         )
 
+    def split_store(self, split: str) -> Dict[str, np.ndarray]:
+        """Host arrays for the HBM-resident eval path
+        (``arch{1,2}.eval_step_indexed``): the whole split uploaded ONCE,
+        per-batch gathers on device — the reference eval likewise holds the
+        full ``fv_im`` store resident for the pass (004_eval_model.lua:202-231).
+        Keys match ``train_step_indexed``'s ``data`` contract; ``answers`` is
+        zeros for unlabeled splits (the returned loss is then meaningless)."""
+        n = self.num_examples(split)
+        labels_key = {"train": "answers_train", "val": "answers_val"}.get(split, "")
+        store = {
+            "tokens": self.d[f"question_{split}"],
+            "image": self.d[f"fv_im_{split}"],
+            "img_pos": self.d[f"img_pos_{split}"].astype(np.int32),
+            "answers": (
+                self.d[labels_key].astype(np.int32)
+                if labels_key in self.d
+                else np.zeros(n, np.int32)
+            ),
+        }
+        if split == "test" and "mc_ans_test" in self.d:
+            store["mc_ans"] = self.d["mc_ans_test"].astype(np.int32)
+        return store
+
     def iter_split(
         self, split: str, batch_size: int, pad_to_batch: bool = False
     ) -> Iterator[Batch]:

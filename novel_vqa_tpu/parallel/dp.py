@@ -89,6 +89,30 @@ def make_eval_forward(
     return make_dp_eval_step(cfg, mesh, eval_fn)
 
 
+def make_eval_forward_indexed(
+    eval_indexed_fn: Callable, cfg, batch_size: int, data_parallel: bool,
+    mesh=None,
+):
+    """CLI helper for the HBM-resident eval path: returns
+    ``step(params, data, qinds)`` where ``data`` is the device-resident split
+    store (``VQAData.split_store``) and ``qinds`` the per-batch (B,) index
+    vector — the only per-batch host->device transfer.  DP shards the index
+    vector; store and params replicate (see mesh.make_dp_eval_indexed_step)."""
+    if not data_parallel:
+        return functools.partial(eval_indexed_fn, cfg)
+    from novel_vqa_tpu.parallel.mesh import make_dp_eval_indexed_step, make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    if batch_size % n_dev:
+        raise ValueError(
+            f"--data_parallel: batch_size {batch_size} not divisible by the "
+            f"mesh's {n_dev} devices"
+        )
+    return make_dp_eval_indexed_step(cfg, mesh, eval_indexed_fn)
+
+
 def _gather_batch(data, qinds):
     """HBM-resident batch gather (002_train_baseline.lua:195-222 inverted:
     the dataset lives on device, only indices move)."""

@@ -137,3 +137,23 @@ def make_dp_eval_step(cfg, mesh: Mesh, eval_fn: Callable, n_batch_args: int = 3)
         in_shardings=(repl,) + (data,) * n_batch_args,
         out_shardings=repl,
     )
+
+
+def make_dp_eval_indexed_step(cfg, mesh: Mesh, eval_indexed_fn: Callable):
+    """DP variant of the HBM-resident eval forward
+    (``arch{1,2}.eval_step_indexed``): params and the split store replicated,
+    the (B,) index vector sharded over ``data`` — each chip gathers and
+    forwards its batch shard (the DP mirror of ``make_vqa_dp_indexed_step``
+    on the training side), outputs replicated so host assembly preserves
+    global row order."""
+    repl = replicated(mesh)
+    shard = batch_sharded(mesh)
+
+    def step(params, data, qinds):
+        return eval_indexed_fn(cfg, params, data, qinds)
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, shard),
+        out_shardings=repl,
+    )

@@ -16,6 +16,7 @@ import dataclasses
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,6 +27,7 @@ from novel_vqa_tpu.models.vqa import arch1
 from novel_vqa_tpu.parallel.dp import (
     DeferredFetch,
     make_eval_forward as _make_eval_forward,
+    make_eval_forward_indexed,
 )
 
 
@@ -52,6 +54,11 @@ class EvalConfig:
     # full-split forward is embarrassingly parallel); results are assembled
     # in global order exactly as the single-device path
     data_parallel: int = 0
+    # 1 (default) = upload the test split ONCE and gather batches on device
+    # (eval_step_indexed — the reference likewise holds the full fv_im store
+    # resident for the pass); 0 = stream each batch host->device (for stores
+    # larger than device memory)
+    hbm_resident: int = 1
 
 
 def main(argv=None):
@@ -81,28 +88,68 @@ def main(argv=None):
     )
     params = arch1_from_flat(load_flat_h5(opt.model_path), cfg)
 
-    step = _make_eval_forward(arch1.eval_step, cfg, opt.batch_size,
-                              bool(opt.data_parallel))
-
     # deep-pipelined full-split forward (parallel.dp.DeferredFetch): deferred
     # async fetches overlap upload, device compute, and copy-back instead of
-    # paying a serialized link round trip per batch (the rehearsal measured
-    # the unpipelined eval of 121,512 questions at 611 s, round 4)
+    # paying a serialized link round trip per batch.  Default is the
+    # HBM-resident path: the split store uploads ONCE and each batch ships
+    # only a (B,) index vector — the streaming loop re-uploaded ~8 MB of fc7
+    # per batch and stayed upload-bound through the tunnel (round-4
+    # rehearsal: 611 s serialized -> 467 s streaming-pipelined -> indexed,
+    # docs/STATUS.md).
     fetch = DeferredFetch()
-    for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
-        _, scores = step(
-            params,
-            jnp.asarray(batch.tokens),
-            jnp.asarray(batch.image),
-            jnp.asarray(batch.labels),
-        )
-        fetch.put(scores, batch.question_id)
-    scores = np.concatenate([s[: len(q)] for s, q in fetch.results()])
-    qids = np.concatenate([q for _, q in fetch.results()])
+    if opt.hbm_resident and not opt.data_parallel:
+        # the WHOLE split as one XLA program (lax.scan over index chunks +
+        # device-side OE/MC argmax): one dispatch, one ~KB-scale fetch —
+        # through a high-latency link the per-batch loop pays a round trip
+        # per dispatch even deep-pipelined (round-4 eval A/B, docs/PERF.md)
+        store = jax.tree_util.tree_map(jnp.asarray, data.split_store("test"))
+        n = data.num_examples("test")
+        n_batches = -(-n // opt.batch_size)
+        _, pred_m, mc_m = arch1.eval_predict_scan(cfg, params, store,
+                                                  n_batches, opt.batch_size)
+        pred = np.asarray(pred_m).reshape(-1)[:n].astype(np.int64)
+        mc_pred = np.asarray(mc_m).reshape(-1)[:n].astype(np.int64)
+        qids = data.d["question_id_test"]
+        scores = None  # not materialized on host in this path
+    elif opt.hbm_resident:
+        # DP: per-batch dispatches with the (B,) index vector sharded over
+        # the mesh and device-side argmax — the fetch is two (B,) int
+        # vectors (~4 KB) instead of the (B, num_output) score matrix (~2 MB)
+        step = make_eval_forward_indexed(arch1.eval_predict_indexed, cfg,
+                                         opt.batch_size,
+                                         bool(opt.data_parallel))
+        store = jax.tree_util.tree_map(jnp.asarray, data.split_store("test"))
+        qid_all = data.d["question_id_test"]
+        n = data.num_examples("test")
+        for start in range(0, n, opt.batch_size):
+            real = min(n, start + opt.batch_size) - start
+            idx = np.arange(start, start + opt.batch_size, dtype=np.int32)
+            if real < opt.batch_size:
+                idx[real:] = 0  # pad with row 0; trimmed via qid length below
+            _, pred_b, mc_b = step(params, store, jnp.asarray(idx))
+            fetch.put(jnp.stack([pred_b, mc_b]), qid_all[start : start + real])
+        res = fetch.results()
+        pred = np.concatenate([r[0][: len(q)] for r, q in res]).astype(np.int64)
+        mc_pred = np.concatenate([r[1][: len(q)] for r, q in res]).astype(np.int64)
+        qids = np.concatenate([q for _, q in res])
+        scores = None  # not materialized on host in this path
+    else:
+        step = _make_eval_forward(arch1.eval_step, cfg, opt.batch_size,
+                                  bool(opt.data_parallel))
+        for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
+            _, scores = step(
+                params,
+                jnp.asarray(batch.tokens),
+                jnp.asarray(batch.image),
+                jnp.asarray(batch.labels),
+            )
+            fetch.put(scores, batch.question_id)
+        scores = np.concatenate([s[: len(q)] for s, q in fetch.results()])
+        qids = np.concatenate([q for _, q in fetch.results()])
+        pred = scores.argmax(axis=1) + 1  # 1-indexed answer ids
+        mc_pred = None
 
     ix_to_ans = data.ix_to_ans
-    pred = scores.argmax(axis=1) + 1  # 1-indexed answer ids
-
     oe = [
         {"question_id": int(q), "answer": ix_to_ans[str(int(p))]}
         for q, p in zip(qids, pred)
@@ -114,16 +161,25 @@ def main(argv=None):
 
     mc_ans = data.d.get("mc_ans_test")
     if mc_ans is not None:
-        mc = []
-        for i in range(len(qids)):
-            choices = mc_ans[i]
-            valid = choices[choices != 0].astype(np.int64)
-            if valid.size == 0:
-                best = int(pred[i])
-            else:
-                # scores are 1-indexed by answer id (004_eval_model.lua:263-270)
-                best = int(valid[np.argmax(scores[i, valid - 1])])
-            mc.append({"question_id": int(qids[i]), "answer": ix_to_ans[str(best)]})
+        if mc_pred is not None:
+            mc = [
+                {"question_id": int(q), "answer": ix_to_ans[str(int(p))]}
+                for q, p in zip(qids, mc_pred)
+            ]
+        else:
+            mc = []
+            for i in range(len(qids)):
+                choices = mc_ans[i]
+                valid = choices[choices != 0].astype(np.int64)
+                if valid.size == 0:
+                    best = int(pred[i])
+                else:
+                    # scores are 1-indexed by answer id
+                    # (004_eval_model.lua:263-270)
+                    best = int(valid[np.argmax(scores[i, valid - 1])])
+                mc.append(
+                    {"question_id": int(qids[i]), "answer": ix_to_ans[str(best)]}
+                )
         mc_path = os.path.join(
             opt.out_path, f"MultipleChoice_{opt.result_name}_results.json"
         )
@@ -131,8 +187,9 @@ def main(argv=None):
             json.dump(mc, f)
         print("wrote", mc_path)
 
-    # also dump raw score vectors for late-fusion ensembling
-    # (003_compute_lf_answers.lua writes /VGGOut*, /InceptionOut* h5 stores)
+    # raw score vectors for late-fusion ensembling are produced by
+    # lf_ensemble compute (003_compute_lf_answers.lua analog); the indexed
+    # path here never materializes them on host (scores is None then)
     return scores, qids
 
 

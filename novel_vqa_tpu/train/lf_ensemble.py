@@ -23,12 +23,17 @@ import numpy as np
 
 
 def run_compute(args):
+    import jax
     import jax.numpy as jnp
 
     from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
     from novel_vqa_tpu.data.vqa import VQAData
     from novel_vqa_tpu.models.vqa import arch1
-    from novel_vqa_tpu.parallel.dp import DeferredFetch, make_eval_forward
+    from novel_vqa_tpu.parallel.dp import (
+        DeferredFetch,
+        make_eval_forward,
+        make_eval_forward_indexed,
+    )
 
     splits = args.splits.split(",")
     cfg_kwargs = dict(
@@ -57,20 +62,57 @@ def run_compute(args):
             if step is None:
                 cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
                 params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
-                step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
-                                         bool(args.data_parallel))
-            # deep-pipelined forward with deferred fetches
-            # (parallel.dp.DeferredFetch, see eval_vqa_arch1)
+                if args.hbm_resident:
+                    step = make_eval_forward_indexed(
+                        arch1.eval_step_indexed, cfg, args.batch_size,
+                        bool(args.data_parallel))
+                else:
+                    step = make_eval_forward(arch1.eval_step, cfg,
+                                             args.batch_size,
+                                             bool(args.data_parallel))
+            # deep-pipelined forward with deferred fetches; HBM-resident
+            # split store by default (see eval_vqa_arch1)
             fetch = DeferredFetch()
-            for batch in data.iter_split(split, args.batch_size, pad_to_batch=True):
-                _, scores = step(
-                    params,
-                    jnp.asarray(batch.tokens),
-                    jnp.asarray(batch.image),
-                    jnp.asarray(batch.labels),
-                )
-                fetch.put(scores, len(batch.question_id))
-            scores_all = [s[:real] for s, real in fetch.results()]
+            if args.hbm_resident and not args.data_parallel:
+                # the whole split's score matrices in ONE dispatch + one
+                # bulk fetch (arch1.eval_scores_scan) — through a
+                # high-latency link the per-batch loop pays a round trip
+                # per dispatch
+                store = jax.tree_util.tree_map(jnp.asarray,
+                                               data.split_store(split))
+                n = data.num_examples(split)
+                n_batches = -(-n // args.batch_size)
+                _, scores_m = arch1.eval_scores_scan(cfg, params, store,
+                                                     n_batches,
+                                                     args.batch_size)
+                scores_m = np.asarray(scores_m)
+                scores_all = [scores_m.reshape(-1, scores_m.shape[-1])[:n]]
+                del store, scores_m
+            elif args.hbm_resident:
+                store = jax.tree_util.tree_map(jnp.asarray,
+                                               data.split_store(split))
+                n = data.num_examples(split)
+                for start in range(0, n, args.batch_size):
+                    real = min(n, start + args.batch_size) - start
+                    idx = np.arange(start, start + args.batch_size,
+                                    dtype=np.int32)
+                    if real < args.batch_size:
+                        idx[real:] = 0
+                    _, scores = step(params, store, jnp.asarray(idx))
+                    fetch.put(scores, real)
+                del store  # free the split's HBM store before the next one
+            else:
+                for batch in data.iter_split(split, args.batch_size,
+                                             pad_to_batch=True):
+                    _, scores = step(
+                        params,
+                        jnp.asarray(batch.tokens),
+                        jnp.asarray(batch.image),
+                        jnp.asarray(batch.labels),
+                    )
+                    fetch.put(scores, len(batch.question_id))
+            if not (args.hbm_resident and not args.data_parallel):
+                scores_all = [s[:real] for s, real in fetch.results()]
             key = f"{args.prefix}Out{split.capitalize()}"
             if key in out:
                 del out[key]
@@ -146,6 +188,11 @@ def cli(argv=None):
         "--data_parallel", default=0, type=int,
         help="batch-sharded DP forward over the attached mesh "
         "(003_compute_lf_answers.lua's three-split pass, parallelized)",
+    )
+    p.add_argument(
+        "--hbm_resident", default=1, type=int,
+        help="1 = upload each split store once and gather batches on device "
+        "(eval_step_indexed); 0 = stream every batch host->device",
     )
 
     p = sub.add_parser("eval")

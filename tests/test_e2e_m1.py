@@ -187,6 +187,32 @@ def test_m1_train_eval_accuracy(synthetic_dataset):
     mc_path = out_dir + "MultipleChoice_mscoco_val2014_lstm_novel_new_2_results.json"
     assert os.path.exists(oe_path) and os.path.exists(mc_path)
 
+    # the default eval path is HBM-resident (device-side gather); the
+    # streaming path (--hbm_resident 0) must produce the identical result
+    # JSON — same math, different data movement
+    out_dir_s = str(d["tmp"] / "result_stream") + "/"
+    eval_vqa_arch1.main(
+        [
+            "--input_img_h5", d["img_h5"],
+            "--input_ques_h5", d["ques_h5"],
+            "--input_json", d["meta_json"],
+            "--model_path", ckpt_dir + "lstm.h5",
+            "--batch_size", "64",
+            "--nhimage", "16",
+            "--input_encoding_size", "12",
+            "--rnn_size", "16",
+            "--rnn_layer", "2",
+            "--common_embedding_size", "16",
+            "--num_output", str(N_ANS),
+            "--out_path", out_dir_s,
+            "--hbm_resident", "0",
+        ]
+    )
+    with open(oe_path) as f1, open(
+        out_dir_s + "OpenEnded_mscoco_val2014_lstm_novel_new_2_results.json"
+    ) as f2:
+        assert json.load(f1) == json.load(f2)
+
     from novel_vqa_tpu.eval.drivers import evaluate
 
     acc = evaluate(d["ann_json"], d["ques_json"], oe_path)

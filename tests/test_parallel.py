@@ -436,3 +436,164 @@ def test_deferred_fetch_order_and_depth():
         np.testing.assert_array_equal(s, np.full((3,), i, np.float32))
     # results() is idempotent
     assert fetch.results() is out
+
+
+def test_eval_step_indexed_matches_streaming():
+    """arch1.eval_step_indexed (HBM-resident store + device-side gather) must
+    produce the same scores as the streaming eval_step over the same rows —
+    the default eval path since round 4 (the streaming loop re-uploaded the
+    image features every batch)."""
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=2,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(2)
+    n_q, n_img = 23, 9
+    data = {
+        "tokens": jnp.asarray(rs.randint(0, 40, size=(n_q, 6)).astype(np.int32)),
+        "image": jnp.asarray(rs.randn(n_img, 16).astype(np.float32)),
+        "img_pos": jnp.asarray(rs.randint(1, n_img + 1, size=(n_q,)).astype(np.int32)),
+        "answers": jnp.asarray(rs.randint(1, 6, size=(n_q,)).astype(np.int32)),
+    }
+    qinds = jnp.asarray(np.arange(8, dtype=np.int32))
+
+    loss_i, scores_i = arch1.eval_step_indexed(cfg, params, data, qinds)
+
+    iminds = np.asarray(data["img_pos"])[:8] - 1
+    loss_s, scores_s = arch1.eval_step(
+        cfg, params,
+        data["tokens"][:8], data["image"][iminds], data["answers"][:8],
+    )
+    np.testing.assert_allclose(np.asarray(scores_i), np.asarray(scores_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_i), float(loss_s), rtol=1e-5)
+
+
+def test_dp_eval_indexed_matches_single_device():
+    """make_dp_eval_indexed_step: store/params replicated, index vector
+    sharded — scores must match the single-device indexed eval in value and
+    global row order."""
+    from novel_vqa_tpu.parallel.mesh import make_dp_eval_indexed_step
+
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=2,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(3)
+    n_q, n_img, B = 40, 11, 24
+    data_host = {
+        "tokens": rs.randint(0, 40, size=(n_q, 6)).astype(np.int32),
+        "image": rs.randn(n_img, 16).astype(np.float32),
+        "img_pos": rs.randint(1, n_img + 1, size=(n_q,)).astype(np.int32),
+        "answers": rs.randint(1, 6, size=(n_q,)).astype(np.int32),
+    }
+    qinds = rs.randint(0, n_q, size=(B,)).astype(np.int32)
+
+    data1 = jax.tree_util.tree_map(jnp.asarray, data_host)
+    loss1, scores1 = arch1.eval_step_indexed(cfg, params, data1, jnp.asarray(qinds))
+
+    mesh = make_mesh(8)
+    step = make_dp_eval_indexed_step(cfg, mesh, arch1.eval_step_indexed)
+    p = jax.device_put(params, replicated(mesh))
+    d = jax.device_put(data1, replicated(mesh))
+    (q,) = shard_batch_arrays(mesh, qinds)
+    loss2, scores2 = step(p, d, q)
+
+    np.testing.assert_allclose(np.asarray(scores1), np.asarray(scores2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_device_predict_matches_host_mc_logic():
+    """models.vqa.predict.device_predict must reproduce the host-side OE/MC
+    argmax exactly (004_eval_model.lua:250-273 semantics), including the
+    all-zero-choice fallback to the OE prediction and first-max tie-breaks."""
+    from novel_vqa_tpu.models.vqa.predict import device_predict
+
+    rs = np.random.RandomState(0)
+    B, A = 16, 10
+    scores = rs.randn(B, A).astype(np.float32)
+    scores[3, 2] = scores[3, 7]  # tie in the full-score argmax
+    choices = rs.randint(1, A + 1, size=(B, 18)).astype(np.int32)
+    choices[rs.rand(B, 18) < 0.3] = 0  # empty slots
+    choices[5] = 0  # all-empty row -> falls back to OE pred
+    choices[6, 0] = choices[6, 3]  # duplicate choice -> first occurrence wins
+
+    pred_d, mc_d = device_predict(jnp.asarray(scores), jnp.asarray(choices))
+    pred_d, mc_d = np.asarray(pred_d), np.asarray(mc_d)
+
+    pred_h = scores.argmax(axis=1) + 1
+    np.testing.assert_array_equal(pred_d, pred_h)
+    for i in range(B):
+        valid = choices[i][choices[i] != 0].astype(np.int64)
+        best = int(valid[np.argmax(scores[i, valid - 1])]) if valid.size else int(pred_h[i])
+        assert int(mc_d[i]) == best, (i, int(mc_d[i]), best)
+
+    # no choices -> mc == pred
+    p2, m2 = device_predict(jnp.asarray(scores), None)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(m2))
+
+
+def test_eval_predict_scan_matches_per_batch():
+    """arch1.eval_predict_scan (whole split in ONE dispatch) must reproduce
+    the per-batch indexed predictions row for row, including the clamped
+    final chunk."""
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=2,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(4)
+    n_q, n_img, B = 21, 7, 8  # 3 chunks, last one short (21 = 2*8 + 5)
+    data = jax.tree_util.tree_map(jnp.asarray, {
+        "tokens": rs.randint(0, 40, size=(n_q, 6)).astype(np.int32),
+        "image": rs.randn(n_img, 16).astype(np.float32),
+        "img_pos": rs.randint(1, n_img + 1, size=(n_q,)).astype(np.int32),
+        "answers": rs.randint(1, 6, size=(n_q,)).astype(np.int32),
+        "mc_ans": rs.randint(0, 6, size=(n_q, 18)).astype(np.int32),
+    })
+    n_batches = -(-n_q // B)
+    _, pred_m, mc_m = arch1.eval_predict_scan(cfg, params, data, n_batches, B)
+    pred_s = np.asarray(pred_m).reshape(-1)[:n_q]
+    mc_s = np.asarray(mc_m).reshape(-1)[:n_q]
+
+    preds, mcs = [], []
+    for start in range(0, n_q, B):
+        idx = np.minimum(np.arange(start, start + B, dtype=np.int32), n_q - 1)
+        _, p, m = arch1.eval_predict_indexed(cfg, params, data, jnp.asarray(idx))
+        real = min(n_q, start + B) - start
+        preds.append(np.asarray(p)[:real])
+        mcs.append(np.asarray(m)[:real])
+    np.testing.assert_array_equal(pred_s, np.concatenate(preds))
+    np.testing.assert_array_equal(mc_s, np.concatenate(mcs))
+
+
+def test_eval_scores_scan_matches_streaming():
+    """arch1.eval_scores_scan (whole-split score matrices in ONE dispatch —
+    the LF-dump path) must match the streaming eval_step scores row for
+    row, including the clamped final chunk."""
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=2,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(5)
+    n_q, n_img, B = 19, 6, 8  # 3 chunks, last one short
+    data = jax.tree_util.tree_map(jnp.asarray, {
+        "tokens": rs.randint(0, 40, size=(n_q, 6)).astype(np.int32),
+        "image": rs.randn(n_img, 16).astype(np.float32),
+        "img_pos": rs.randint(1, n_img + 1, size=(n_q,)).astype(np.int32),
+        "answers": rs.randint(1, 6, size=(n_q,)).astype(np.int32),
+    })
+    n_batches = -(-n_q // B)
+    _, scores_m = arch1.eval_scores_scan(cfg, params, data, n_batches, B)
+    scores_s = np.asarray(scores_m).reshape(-1, cfg.num_output)[:n_q]
+
+    iminds = np.asarray(data["img_pos"]) - 1
+    _, scores_ref = arch1.eval_step(
+        cfg, params, data["tokens"], data["image"][iminds], data["answers"]
+    )
+    np.testing.assert_allclose(scores_s, np.asarray(scores_ref),
+                               rtol=1e-5, atol=1e-6)
