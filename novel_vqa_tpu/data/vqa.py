@@ -57,7 +57,16 @@ class VQAData:
         load_test: bool = False,
         img_norm_split_dims: Optional[list] = None,
         align: str = "right",  # "right" (arch1, :113-114) | "left" (arch2: none)
+        splits: Optional[tuple] = None,
     ):
+        # ``splits`` overrides the historical either/or loading (train+val
+        # XOR test) — the LF score dump holds ALL splits resident at once,
+        # exactly as 003_compute_lf_answers.lua:398-420 reads images_train/
+        # _val/_test together
+        wanted = (
+            tuple(splits) if splits is not None
+            else (("test",) if load_test else ("train", "val"))
+        )
         with open(input_json) as f:
             meta = json.load(f)
         self.ix_to_word: Dict[str, str] = meta["ix_to_word"]
@@ -67,22 +76,23 @@ class VQAData:
 
         d: Dict[str, np.ndarray] = {}
         with h5py.File(input_ques_h5, "r") as f:
-            for split in (("train", "val") if not load_test else ("test",)):
+            for split in wanted:
                 d[f"question_{split}"] = f[f"ques_{split}"][()]
                 d[f"lengths_{split}"] = f[f"ques_length_{split}"][()]
                 d[f"img_pos_{split}"] = f[f"img_pos_{split}"][()]
                 d[f"question_id_{split}"] = f[f"question_id_{split}"][()]
-            if not load_test:
+            if "train" in wanted:
                 d["answers_train"] = f["answers"][()]
+            if "val" in wanted:
                 d["answers_val"] = f["answers_val"][()]
-            elif "MC_ans_test" in f:
+            if "test" in wanted and "MC_ans_test" in f:
                 d["mc_ans_test"] = f["MC_ans_test"][()]
 
         with h5py.File(input_img_h5, "r") as f:
-            for split in (("train", "val") if not load_test else ("test",)):
+            for split in wanted:
                 d[f"fv_im_{split}"] = np.asarray(f[f"images_{split}"][()], np.float32)
 
-        for split in ("train", "val") if not load_test else ("test",):
+        for split in wanted:
             if align == "right":
                 d[f"question_{split}"] = right_align_fast(
                     d[f"question_{split}"].astype(np.int32), d[f"lengths_{split}"]
@@ -113,7 +123,7 @@ class VQAData:
 
         self.d = d
         self.rng = np.random.default_rng(seed)
-        self.splits = ("test",) if load_test else ("train", "val")
+        self.splits = wanted
 
     @property
     def seq_length(self) -> int:

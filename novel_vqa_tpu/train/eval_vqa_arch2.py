@@ -98,9 +98,13 @@ def main(argv=None):
         n_batches = -(-n // opt.batch_size)
         qids = data.d["question_id_test"]
         if need_scores:
+            from novel_vqa_tpu.parallel.dp import fetch_chunked
+
             _, scores_m = arch2.eval_scores_scan(cfg, params, store,
                                                  n_batches, opt.batch_size)
-            scores_m = np.asarray(scores_m)
+            # chunked fetch — the one-shot np.asarray of a ~0.5 GB score
+            # block measures ~1.5 MB/s through the tunnel (fetch_chunked)
+            scores_m = fetch_chunked(scores_m)
             scores = scores_m.reshape(-1, scores_m.shape[-1])[:n]
             pred = scores.argmax(axis=1) + 1
         else:

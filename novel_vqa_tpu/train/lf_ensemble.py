@@ -31,6 +31,7 @@ def run_compute(args):
     from novel_vqa_tpu.models.vqa import arch1
     from novel_vqa_tpu.parallel.dp import (
         DeferredFetch,
+        fetch_chunked,
         make_eval_forward,
         make_eval_forward_indexed,
     )
@@ -46,30 +47,31 @@ def run_compute(args):
         fusion=args.fusion,
     )
 
-    # the model/forward are split-independent (same model_path, same vocab):
-    # build them ONCE so the jitted step compiles once for all three
-    # full-split passes (tunnel compiles cost minutes each — docs/PERF.md)
-    params = step = None
+    # model/forward AND the dataset are split-independent: build them ONCE.
+    # The jitted step then compiles once for all three full-split passes
+    # (tunnel compiles cost minutes each — docs/PERF.md), and the 1.83 GB
+    # train fc7 store is read + L2-normalized once instead of per split
+    # (VQAData always loads train/val; per-split reconstruction measured
+    # ~2 min of pure h5-read + renormalize overhead per extra split at
+    # novel_v2 scale on this 1-core host)
+    data = VQAData(
+        args.input_ques_h5,
+        args.input_img_h5,
+        args.input_json,
+        img_norm=bool(args.img_norm),
+        splits=tuple(splits),
+    )
+    cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
+    params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
+    if args.hbm_resident:
+        step = make_eval_forward_indexed(
+            arch1.eval_step_indexed, cfg, args.batch_size,
+            bool(args.data_parallel))
+    else:
+        step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
+                                 bool(args.data_parallel))
     with h5py.File(args.out_h5, "a") as out:
         for split in splits:
-            data = VQAData(
-                args.input_ques_h5,
-                args.input_img_h5,
-                args.input_json,
-                img_norm=bool(args.img_norm),
-                load_test=(split == "test"),
-            )
-            if step is None:
-                cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
-                params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
-                if args.hbm_resident:
-                    step = make_eval_forward_indexed(
-                        arch1.eval_step_indexed, cfg, args.batch_size,
-                        bool(args.data_parallel))
-                else:
-                    step = make_eval_forward(arch1.eval_step, cfg,
-                                             args.batch_size,
-                                             bool(args.data_parallel))
             # deep-pipelined forward with deferred fetches; HBM-resident
             # split store by default (see eval_vqa_arch1)
             fetch = DeferredFetch()
@@ -85,7 +87,10 @@ def run_compute(args):
                 _, scores_m = arch1.eval_scores_scan(cfg, params, store,
                                                      n_batches,
                                                      args.batch_size)
-                scores_m = np.asarray(scores_m)
+                # chunked fetch: the single-shot np.asarray of the ~0.5-0.9
+                # GB score block measures ~1.5 MB/s through the tunnel;
+                # slices sustain ~30-38 MB/s (fetch_chunked docstring)
+                scores_m = fetch_chunked(scores_m)
                 scores_all = [scores_m.reshape(-1, scores_m.shape[-1])[:n]]
                 del store, scores_m
             elif args.hbm_resident:

@@ -267,9 +267,9 @@ def main(argv=None):
     train_wall = time.perf_counter() - t0
     report["wall_s"]["train_1k_iters"] = round(train_wall, 1)
     report["memory"]["after_train"] = device_memory_stats()
-    # steady-state per-iteration wall from the LAST dispatches is projected
-    # below via a second, shorter timed run segment-free; here use total/iters
-    # as the conservative (includes compile + upload) figure and report both
+    # total/iters is the conservative figure (includes compile + the 1.9 GB
+    # upload); the steady-state per-iteration wall is bench.py's wall-sweep
+    # measurement at identical shapes (docs/PERF.md)
     report["train"] = {
         "iters": args.iters,
         "wall_ms_per_iter_incl_setup": round(1000 * train_wall / args.iters, 2),

@@ -570,6 +570,21 @@ def test_eval_predict_scan_matches_per_batch():
     np.testing.assert_array_equal(mc_s, np.concatenate(mcs))
 
 
+def test_fetch_chunked_identity():
+    """parallel.dp.fetch_chunked must return exactly the same bytes as a
+    one-shot np.asarray, including ragged final chunks and tiny inputs."""
+    from novel_vqa_tpu.parallel.dp import fetch_chunked
+
+    rs = np.random.RandomState(7)
+    for shape, rows in [((23, 5, 7), 4), ((8, 3), 3), ((5,), 100), ((1, 4), 1)]:
+        host = rs.randn(*shape).astype(np.float32)
+        dev = jnp.asarray(host)
+        np.testing.assert_array_equal(fetch_chunked(dev, rows_per_chunk=rows), host)
+    # auto-sizing path (target_mb >= array size -> direct fetch)
+    host = rs.randn(16, 8).astype(np.float32)
+    np.testing.assert_array_equal(fetch_chunked(jnp.asarray(host)), host)
+
+
 def test_eval_scores_scan_matches_streaming():
     """arch1.eval_scores_scan (whole-split score matrices in ONE dispatch —
     the LF-dump path) must match the streaming eval_step scores row for
