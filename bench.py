@@ -673,10 +673,20 @@ def bench_fc7():
         f"analytic~{analytic:.3e}"
     )
 
-    it = iter(dev_batches * 2)
+    it = iter(dev_batches * 3)
 
     def one_batch():
         return forward(*next(it))
+
+    # untraced wall window (see bench_train/bench_inception: wall measured
+    # inside the profiler trace is a known artifact); the fc7 record ALSO
+    # carries the pipelined-loop sustained rate below, which is the
+    # end-to-end wall figure that matters for this workload
+    t0 = time.perf_counter()
+    for _ in range(len(dev_batches)):
+        out = one_batch()
+    jax.device_get(out)
+    untraced_wall_s = time.perf_counter() - t0
 
     timing = db.measure_device_time(one_batch, len(dev_batches))
     dev_s, n_mod = timing.module_seconds("jit_")
@@ -688,7 +698,7 @@ def bench_fc7():
         device_s=dev_s,
         n_steps=len(dev_batches),
         items_per_step=batch,
-        wall_s=timing.wall_s,
+        wall_s=untraced_wall_s,
         peak=db.peak_flops(),
     )
     rec.update(
@@ -786,10 +796,19 @@ def bench_inception():
     except Exception as e:  # diagnostics only
         _log("inception: cost_analysis unavailable:", repr(e))
 
-    it = iter(range(steps))
+    it = iter(range(2 * steps))
 
     def one():
         return forward(params, *batches[next(it) % len(batches)])
+
+    # untraced wall window (see bench_train: wall measured inside the
+    # profiler trace is a known artifact) — dispatches are independent, so
+    # force completion of the LAST one after draining the loop
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = one()
+    jax.device_get(out)
+    untraced_wall_s = time.perf_counter() - t0
 
     timing = db.measure_device_time(one, steps)
     dev_s, n_mod = timing.module_seconds("jit_forward")
@@ -801,7 +820,7 @@ def bench_inception():
         device_s=dev_s,
         n_steps=steps,
         items_per_step=batch,
-        wall_s=timing.wall_s,
+        wall_s=untraced_wall_s,
         peak=db.peak_flops(),
     )
     rec.update(

@@ -212,118 +212,17 @@ def eval_step(cfg: Arch1Config, params, tokens, image, labels):
     return cross_entropy(scores, labels), scores
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def eval_step_indexed(cfg: Arch1Config, params, data, qinds):
-    """HBM-resident eval forward — the eval-side mirror of
-    :func:`train_step_indexed`.
+# HBM-resident / single-dispatch eval paths — shared factory (see
+# models/vqa/eval_paths.py for the full contract and the measured rationale;
+# arch2 builds the same four from its own ``apply``)
+from novel_vqa_tpu.models.vqa.eval_paths import build_eval_fns as _build_eval_fns
 
-    The full-split eval loops (004_eval_model.lua:202-231 — the reference
-    holds the whole ``fv_im`` store resident for the pass) were UPLOAD-bound
-    through a high-latency link: each batch re-shipped ~8 MB of fc7 features
-    that were already needed whole.  Here the split store lives in HBM once
-    and only the (B,) index vector crosses the host boundary per batch; the
-    gather happens inside the jitted forward.  ``data`` keys as
-    train_step_indexed: tokens (N,D), image (M,F), img_pos (N,), answers (N,)
-    (zeros when the split has no labels — the loss is then meaningless and
-    ignored by callers)."""
-    tokens = jnp.take(data["tokens"], qinds, axis=0)
-    labels = jnp.take(data["answers"], qinds, axis=0)
-    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-    image = jnp.take(data["image"], iminds, axis=0)
-    scores = apply(params, cfg, tokens, image, deterministic=True)
-    return cross_entropy(scores, labels), scores
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def eval_predict_indexed(cfg: Arch1Config, params, data, qinds):
-    """:func:`eval_step_indexed` + device-side OE/MC argmax
-    (models.vqa.predict.device_predict): the per-batch fetch shrinks from the
-    (B, num_output) score matrix to two (B,) int vectors — the default
-    full-split eval path (link-bound otherwise).  ``data`` may carry
-    ``mc_ans`` (N, 18); absent means ``mc_pred == pred``.
-    Returns (loss, pred, mc_pred), both preds (B,) int32 1-indexed."""
-    from novel_vqa_tpu.models.vqa.predict import device_predict
-
-    tokens = jnp.take(data["tokens"], qinds, axis=0)
-    labels = jnp.take(data["answers"], qinds, axis=0)
-    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-    image = jnp.take(data["image"], iminds, axis=0)
-    scores = apply(params, cfg, tokens, image, deterministic=True)
-    choices = (
-        jnp.take(data["mc_ans"], qinds, axis=0).astype(jnp.int32)
-        if "mc_ans" in data
-        else None
-    )
-    pred, mc_pred = device_predict(scores, choices)
-    return cross_entropy(scores, labels), pred, mc_pred
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def eval_predict_scan(cfg: Arch1Config, params, data, n_batches: int,
-                      batch_size: int):
-    """The ENTIRE full-split eval as ONE XLA program: ``lax.scan`` over
-    contiguous index chunks of the HBM-resident store, device-side OE/MC
-    argmax per chunk (models.vqa.predict) — one dispatch and one small fetch
-    for the whole split instead of a host round trip per batch.  Through a
-    high-latency link the per-batch loop pays full RTT per dispatch even
-    with deep pipelining (round-4 eval A/B, docs/PERF.md); this is the same
-    inversion ``train_steps_scan`` applies to training.  Out-of-range rows
-    of the final chunk are clamped to the last row (the caller trims to the
-    true split length).  Returns (losses (n_batches,), pred, mc_pred — both
-    (n_batches, batch_size) int32 1-indexed)."""
-    from novel_vqa_tpu.models.vqa.predict import device_predict
-
-    n = data["tokens"].shape[0]
-
-    def body(_, i):
-        qinds = jnp.minimum(i * batch_size + jnp.arange(batch_size,
-                                                        dtype=jnp.int32),
-                            n - 1)
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        scores = apply(params, cfg, tokens, image, deterministic=True)
-        choices = (
-            jnp.take(data["mc_ans"], qinds, axis=0).astype(jnp.int32)
-            if "mc_ans" in data
-            else None
-        )
-        pred, mc_pred = device_predict(scores, choices)
-        return None, (cross_entropy(scores, labels), pred, mc_pred)
-
-    _, (losses, pred, mc_pred) = jax.lax.scan(
-        body, None, jnp.arange(n_batches, dtype=jnp.int32)
-    )
-    return losses, pred, mc_pred
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def eval_scores_scan(cfg: Arch1Config, params, data, n_batches: int,
-                     batch_size: int):
-    """Whole-split score matrices in ONE dispatch + ONE bulk fetch — for the
-    workloads that genuinely need every score on host (the LF ensemble's
-    three-split dump, 003_compute_lf_answers.lua:373-482, and
-    ``--dump_scores_h5``).  A (n_batches, B, num_output) f32 result (~0.5 GB
-    at novel_v2 scale) transfers at link bandwidth instead of paying 243
-    per-batch round trips.  Returns (losses (n_batches,), scores)."""
-    n = data["tokens"].shape[0]
-
-    def body(_, i):
-        qinds = jnp.minimum(i * batch_size + jnp.arange(batch_size,
-                                                        dtype=jnp.int32),
-                            n - 1)
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        scores = apply(params, cfg, tokens, image, deterministic=True)
-        return None, (cross_entropy(scores, labels), scores)
-
-    _, (losses, scores) = jax.lax.scan(
-        body, None, jnp.arange(n_batches, dtype=jnp.int32)
-    )
-    return losses, scores
+(
+    eval_step_indexed,
+    eval_predict_indexed,
+    eval_predict_scan,
+    eval_scores_scan,
+) = _build_eval_fns(apply)
 
 
 def make_dp_indexed_step(cfg: Arch1Config, tx: optax.GradientTransformation, mesh):

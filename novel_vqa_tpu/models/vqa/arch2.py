@@ -152,89 +152,16 @@ def eval_step(cfg, params, tokens, image, labels):
     return cross_entropy(scores, labels), scores
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def eval_step_indexed(cfg, params, data, qinds):
-    """HBM-resident eval forward (see arch1.eval_step_indexed): only the
-    (B,) index vector crosses the host boundary per batch."""
-    tokens = jnp.take(data["tokens"], qinds, axis=0)
-    labels = jnp.take(data["answers"], qinds, axis=0)
-    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-    image = jnp.take(data["image"], iminds, axis=0)
-    scores = apply(params, cfg, tokens, image, deterministic=True)
-    return cross_entropy(scores, labels), scores
+# HBM-resident / single-dispatch eval paths — shared factory with arch1
+# (models/vqa/eval_paths.py)
+from novel_vqa_tpu.models.vqa.eval_paths import build_eval_fns as _build_eval_fns
 
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def eval_predict_indexed(cfg, params, data, qinds):
-    """HBM-resident eval + device-side OE/MC argmax (see
-    arch1.eval_predict_indexed): fetches two (B,) int vectors per batch."""
-    from novel_vqa_tpu.models.vqa.predict import device_predict
-
-    tokens = jnp.take(data["tokens"], qinds, axis=0)
-    labels = jnp.take(data["answers"], qinds, axis=0)
-    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-    image = jnp.take(data["image"], iminds, axis=0)
-    scores = apply(params, cfg, tokens, image, deterministic=True)
-    choices = (
-        jnp.take(data["mc_ans"], qinds, axis=0).astype(jnp.int32)
-        if "mc_ans" in data
-        else None
-    )
-    pred, mc_pred = device_predict(scores, choices)
-    return cross_entropy(scores, labels), pred, mc_pred
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def eval_predict_scan(cfg, params, data, n_batches: int, batch_size: int):
-    """Whole-split eval in ONE dispatch (see arch1.eval_predict_scan)."""
-    from novel_vqa_tpu.models.vqa.predict import device_predict
-
-    n = data["tokens"].shape[0]
-
-    def body(_, i):
-        qinds = jnp.minimum(i * batch_size + jnp.arange(batch_size,
-                                                        dtype=jnp.int32),
-                            n - 1)
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        scores = apply(params, cfg, tokens, image, deterministic=True)
-        choices = (
-            jnp.take(data["mc_ans"], qinds, axis=0).astype(jnp.int32)
-            if "mc_ans" in data
-            else None
-        )
-        pred, mc_pred = device_predict(scores, choices)
-        return None, (cross_entropy(scores, labels), pred, mc_pred)
-
-    _, (losses, pred, mc_pred) = jax.lax.scan(
-        body, None, jnp.arange(n_batches, dtype=jnp.int32)
-    )
-    return losses, pred, mc_pred
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def eval_scores_scan(cfg, params, data, n_batches: int, batch_size: int):
-    """Whole-split score matrices in ONE dispatch (see
-    arch1.eval_scores_scan) — for ``--dump_scores_h5``."""
-    n = data["tokens"].shape[0]
-
-    def body(_, i):
-        qinds = jnp.minimum(i * batch_size + jnp.arange(batch_size,
-                                                        dtype=jnp.int32),
-                            n - 1)
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        scores = apply(params, cfg, tokens, image, deterministic=True)
-        return None, (cross_entropy(scores, labels), scores)
-
-    _, (losses, scores) = jax.lax.scan(
-        body, None, jnp.arange(n_batches, dtype=jnp.int32)
-    )
-    return losses, scores
+(
+    eval_step_indexed,
+    eval_predict_indexed,
+    eval_predict_scan,
+    eval_scores_scan,
+) = _build_eval_fns(apply)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 5, 6), donate_argnums=(2, 3))

@@ -120,14 +120,26 @@ def make_eval_forward_indexed(
     eval_indexed_fn: Callable, cfg, batch_size: int, data_parallel: bool,
     mesh=None,
 ):
-    """CLI helper for the HBM-resident eval path: returns
-    ``step(params, data, qinds)`` where ``data`` is the device-resident split
-    store (``VQAData.split_store``) and ``qinds`` the per-batch (B,) index
-    vector — the only per-batch host->device transfer.  DP shards the index
-    vector; store and params replicate (see mesh.make_dp_eval_indexed_step)."""
+    """CLI helper for the HBM-resident eval path: returns ``(step, place)``
+    where ``step(params, data, qinds)`` takes the device-resident split
+    store and a per-batch (B,) index vector — the only per-batch
+    host->device transfer — and ``place(host_store)`` uploads the split
+    store ONCE with the sharding the step expects.  DP shards the index
+    vector; store and params replicate (mesh.make_dp_eval_indexed_step).
+    Callers MUST place the store through ``place``: an uncommitted
+    single-device store would otherwise be re-replicated across the mesh on
+    EVERY per-batch dispatch (~663 MB x 243 batches at novel_v2 scale),
+    defeating the upload-once design."""
     if not data_parallel:
-        return functools.partial(eval_indexed_fn, cfg)
-    from novel_vqa_tpu.parallel.mesh import make_dp_eval_indexed_step, make_mesh
+        def place(host_store):
+            return jax.tree_util.tree_map(jnp.asarray, host_store)
+
+        return functools.partial(eval_indexed_fn, cfg), place
+    from novel_vqa_tpu.parallel.mesh import (
+        make_dp_eval_indexed_step,
+        make_mesh,
+        replicated,
+    )
 
     if mesh is None:
         mesh = make_mesh()
@@ -137,17 +149,27 @@ def make_eval_forward_indexed(
             f"--data_parallel: batch_size {batch_size} not divisible by the "
             f"mesh's {n_dev} devices"
         )
-    return make_dp_eval_indexed_step(cfg, mesh, eval_indexed_fn)
+    repl = replicated(mesh)
+
+    def place(host_store):
+        return jax.device_put(host_store, repl)
+
+    return make_dp_eval_indexed_step(cfg, mesh, eval_indexed_fn), place
 
 
-def _gather_batch(data, qinds):
+def gather_batch(data, qinds):
     """HBM-resident batch gather (002_train_baseline.lua:195-222 inverted:
-    the dataset lives on device, only indices move)."""
+    the dataset lives on device, only indices move).  Shared by the indexed
+    training steps and every indexed/scan eval path
+    (models/vqa/eval_paths.py)."""
     tokens = jnp.take(data["tokens"], qinds, axis=0)
     labels = jnp.take(data["answers"], qinds, axis=0)
     iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
     image = jnp.take(data["image"], iminds, axis=0)
     return tokens, image, labels
+
+
+_gather_batch = gather_batch  # back-compat alias for in-package callers
 
 
 def make_vqa_dp_indexed_step(

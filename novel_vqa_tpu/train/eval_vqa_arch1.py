@@ -16,19 +16,13 @@ import dataclasses
 import json
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch1
-from novel_vqa_tpu.parallel.dp import (
-    DeferredFetch,
-    make_eval_forward as _make_eval_forward,
-    make_eval_forward_indexed,
-)
+from novel_vqa_tpu.train.eval_loop import run_full_split
 
 
 @dataclasses.dataclass
@@ -88,66 +82,20 @@ def main(argv=None):
     )
     params = arch1_from_flat(load_flat_h5(opt.model_path), cfg)
 
-    # deep-pipelined full-split forward (parallel.dp.DeferredFetch): deferred
-    # async fetches overlap upload, device compute, and copy-back instead of
-    # paying a serialized link round trip per batch.  Default is the
-    # HBM-resident path: the split store uploads ONCE and each batch ships
-    # only a (B,) index vector — the streaming loop re-uploaded ~8 MB of fc7
-    # per batch and stayed upload-bound through the tunnel (round-4
-    # rehearsal: 611 s serialized -> 467 s streaming-pipelined -> indexed,
-    # docs/STATUS.md).
-    fetch = DeferredFetch()
-    if opt.hbm_resident and not opt.data_parallel:
-        # the WHOLE split as one XLA program (lax.scan over index chunks +
-        # device-side OE/MC argmax): one dispatch, one ~KB-scale fetch —
-        # through a high-latency link the per-batch loop pays a round trip
-        # per dispatch even deep-pipelined (round-4 eval A/B, docs/PERF.md)
-        store = jax.tree_util.tree_map(jnp.asarray, data.split_store("test"))
-        n = data.num_examples("test")
-        n_batches = -(-n // opt.batch_size)
-        _, pred_m, mc_m = arch1.eval_predict_scan(cfg, params, store,
-                                                  n_batches, opt.batch_size)
-        pred = np.asarray(pred_m).reshape(-1)[:n].astype(np.int64)
-        mc_pred = np.asarray(mc_m).reshape(-1)[:n].astype(np.int64)
-        qids = data.d["question_id_test"]
-        scores = None  # not materialized on host in this path
-    elif opt.hbm_resident:
-        # DP: per-batch dispatches with the (B,) index vector sharded over
-        # the mesh and device-side argmax — the fetch is two (B,) int
-        # vectors (~4 KB) instead of the (B, num_output) score matrix (~2 MB)
-        step = make_eval_forward_indexed(arch1.eval_predict_indexed, cfg,
-                                         opt.batch_size,
-                                         bool(opt.data_parallel))
-        store = jax.tree_util.tree_map(jnp.asarray, data.split_store("test"))
-        qid_all = data.d["question_id_test"]
-        n = data.num_examples("test")
-        for start in range(0, n, opt.batch_size):
-            real = min(n, start + opt.batch_size) - start
-            idx = np.arange(start, start + opt.batch_size, dtype=np.int32)
-            if real < opt.batch_size:
-                idx[real:] = 0  # pad with row 0; trimmed via qid length below
-            _, pred_b, mc_b = step(params, store, jnp.asarray(idx))
-            fetch.put(jnp.stack([pred_b, mc_b]), qid_all[start : start + real])
-        res = fetch.results()
-        pred = np.concatenate([r[0][: len(q)] for r, q in res]).astype(np.int64)
-        mc_pred = np.concatenate([r[1][: len(q)] for r, q in res]).astype(np.int64)
-        qids = np.concatenate([q for _, q in res])
-        scores = None  # not materialized on host in this path
-    else:
-        step = _make_eval_forward(arch1.eval_step, cfg, opt.batch_size,
-                                  bool(opt.data_parallel))
-        for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
-            _, scores = step(
-                params,
-                jnp.asarray(batch.tokens),
-                jnp.asarray(batch.image),
-                jnp.asarray(batch.labels),
-            )
-            fetch.put(scores, batch.question_id)
-        scores = np.concatenate([s[: len(q)] for s, q in fetch.results()])
-        qids = np.concatenate([q for _, q in fetch.results()])
+    # shared full-split driver (train/eval_loop.py): default is the
+    # single-dispatch HBM-resident scan + device-side OE/MC argmax
+    # (611 s serialized -> 60-118 s at novel_v2 scale, docs/PERF.md);
+    # --data_parallel shards the per-batch index vector; --hbm_resident 0
+    # streams each batch (scores come back, argmax on host)
+    pred, mc_pred, scores = run_full_split(
+        arch1, cfg, params, data, "test", opt.batch_size,
+        hbm_resident=bool(opt.hbm_resident),
+        data_parallel=bool(opt.data_parallel),
+        want="predict" if opt.hbm_resident else "scores",
+    )
+    qids = data.d["question_id_test"]
+    if pred is None:
         pred = scores.argmax(axis=1) + 1  # 1-indexed answer ids
-        mc_pred = None
 
     ix_to_ans = data.ix_to_ans
     oe = [

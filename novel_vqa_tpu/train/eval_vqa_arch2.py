@@ -9,19 +9,13 @@ import dataclasses
 import json
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from novel_vqa_tpu.core.checkpoint import arch2_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch2
-from novel_vqa_tpu.parallel.dp import (
-    DeferredFetch,
-    make_eval_forward as _make_eval_forward,
-    make_eval_forward_indexed,
-)
+from novel_vqa_tpu.train.eval_loop import run_full_split
 
 
 @dataclasses.dataclass
@@ -81,76 +75,19 @@ def main(argv=None):
     )
     params = arch2_from_flat(load_flat_h5(opt.model_path), cfg)
 
-    # deep-pipelined forward with deferred fetches; HBM-resident split store
-    # by default (see eval_vqa_arch1).  --dump_scores_h5 needs the full
-    # score matrices on host, so that mode fetches scores (still through the
-    # resident store); otherwise only the two (B,) prediction vectors cross
-    # back per batch (device-side argmax).
-    need_scores = bool(opt.dump_scores_h5)
-    fetch = DeferredFetch()
-    mc_pred = None
-    if opt.hbm_resident and not opt.data_parallel:
-        # whole split as ONE dispatch (see eval_vqa_arch1 /
-        # arch1.eval_predict_scan); with --dump_scores_h5 the score matrices
-        # come back in one bulk fetch instead (eval_scores_scan)
-        store = jax.tree_util.tree_map(jnp.asarray, data.split_store("test"))
-        n = data.num_examples("test")
-        n_batches = -(-n // opt.batch_size)
-        qids = data.d["question_id_test"]
-        if need_scores:
-            from novel_vqa_tpu.parallel.dp import fetch_chunked
-
-            _, scores_m = arch2.eval_scores_scan(cfg, params, store,
-                                                 n_batches, opt.batch_size)
-            # chunked fetch — the one-shot np.asarray of a ~0.5 GB score
-            # block measures ~1.5 MB/s through the tunnel (fetch_chunked)
-            scores_m = fetch_chunked(scores_m)
-            scores = scores_m.reshape(-1, scores_m.shape[-1])[:n]
-            pred = scores.argmax(axis=1) + 1
-        else:
-            _, pred_m, mc_m = arch2.eval_predict_scan(cfg, params, store,
-                                                      n_batches,
-                                                      opt.batch_size)
-            pred = np.asarray(pred_m).reshape(-1)[:n].astype(np.int64)
-            mc_pred = np.asarray(mc_m).reshape(-1)[:n].astype(np.int64)
-            scores = None
-    elif opt.hbm_resident:
-        fn = arch2.eval_step_indexed if need_scores else arch2.eval_predict_indexed
-        step = make_eval_forward_indexed(fn, cfg, opt.batch_size,
-                                         bool(opt.data_parallel))
-        store = jax.tree_util.tree_map(jnp.asarray, data.split_store("test"))
-        qid_all = data.d["question_id_test"]
-        n = data.num_examples("test")
-        for start in range(0, n, opt.batch_size):
-            real = min(n, start + opt.batch_size) - start
-            idx = np.arange(start, start + opt.batch_size, dtype=np.int32)
-            if real < opt.batch_size:
-                idx[real:] = 0
-            out = step(params, store, jnp.asarray(idx))
-            payload = out[1] if need_scores else jnp.stack([out[1], out[2]])
-            fetch.put(payload, qid_all[start : start + real])
-        res = fetch.results()
-        qids = np.concatenate([q for _, q in res])
-        if need_scores:
-            scores = np.concatenate([s[: len(q)] for s, q in res])
-            pred = scores.argmax(axis=1) + 1
-        else:
-            scores = None
-            pred = np.concatenate([r[0][: len(q)] for r, q in res]).astype(np.int64)
-            mc_pred = np.concatenate([r[1][: len(q)] for r, q in res]).astype(np.int64)
-    else:
-        step = _make_eval_forward(arch2.eval_step, cfg, opt.batch_size,
-                                  bool(opt.data_parallel))
-        for batch in data.iter_split("test", opt.batch_size, pad_to_batch=True):
-            _, scores = step(
-                params,
-                jnp.asarray(batch.tokens),
-                jnp.asarray(batch.image),
-                jnp.asarray(batch.labels),
-            )
-            fetch.put(scores, batch.question_id)
-        scores = np.concatenate([s[: len(q)] for s, q in fetch.results()])
-        qids = np.concatenate([q for _, q in fetch.results()])
+    # shared full-split driver (train/eval_loop.py — see eval_vqa_arch1).
+    # --dump_scores_h5 needs the full score matrices on host, so that mode
+    # fetches scores (still through the resident store); otherwise only the
+    # prediction vectors cross back (device-side argmax).
+    need_scores = bool(opt.dump_scores_h5) or not opt.hbm_resident
+    pred, mc_pred, scores = run_full_split(
+        arch2, cfg, params, data, "test", opt.batch_size,
+        hbm_resident=bool(opt.hbm_resident),
+        data_parallel=bool(opt.data_parallel),
+        want="scores" if need_scores else "predict",
+    )
+    qids = data.d["question_id_test"]
+    if pred is None:
         pred = scores.argmax(axis=1) + 1
 
     ix_to_ans = data.ix_to_ans

@@ -23,18 +23,10 @@ import numpy as np
 
 
 def run_compute(args):
-    import jax
-    import jax.numpy as jnp
-
     from novel_vqa_tpu.core.checkpoint import arch1_from_flat, load_flat_h5
     from novel_vqa_tpu.data.vqa import VQAData
     from novel_vqa_tpu.models.vqa import arch1
-    from novel_vqa_tpu.parallel.dp import (
-        DeferredFetch,
-        fetch_chunked,
-        make_eval_forward,
-        make_eval_forward_indexed,
-    )
+    from novel_vqa_tpu.train.eval_loop import run_full_split
 
     splits = args.splits.split(",")
     cfg_kwargs = dict(
@@ -63,67 +55,21 @@ def run_compute(args):
     )
     cfg = arch1.Arch1Config(vocab_size=data.vocab_size, **cfg_kwargs)
     params = arch1_from_flat(load_flat_h5(args.model_path), cfg)
-    if args.hbm_resident:
-        step = make_eval_forward_indexed(
-            arch1.eval_step_indexed, cfg, args.batch_size,
-            bool(args.data_parallel))
-    else:
-        step = make_eval_forward(arch1.eval_step, cfg, args.batch_size,
-                                 bool(args.data_parallel))
     with h5py.File(args.out_h5, "a") as out:
         for split in splits:
-            # deep-pipelined forward with deferred fetches; HBM-resident
-            # split store by default (see eval_vqa_arch1)
-            fetch = DeferredFetch()
-            if args.hbm_resident and not args.data_parallel:
-                # the whole split's score matrices in ONE dispatch + one
-                # bulk fetch (arch1.eval_scores_scan) — through a
-                # high-latency link the per-batch loop pays a round trip
-                # per dispatch
-                store = jax.tree_util.tree_map(jnp.asarray,
-                                               data.split_store(split))
-                n = data.num_examples(split)
-                n_batches = -(-n // args.batch_size)
-                _, scores_m = arch1.eval_scores_scan(cfg, params, store,
-                                                     n_batches,
-                                                     args.batch_size)
-                # chunked fetch: the single-shot np.asarray of the ~0.5-0.9
-                # GB score block measures ~1.5 MB/s through the tunnel;
-                # slices sustain ~30-38 MB/s (fetch_chunked docstring)
-                scores_m = fetch_chunked(scores_m)
-                scores_all = [scores_m.reshape(-1, scores_m.shape[-1])[:n]]
-                del store, scores_m
-            elif args.hbm_resident:
-                store = jax.tree_util.tree_map(jnp.asarray,
-                                               data.split_store(split))
-                n = data.num_examples(split)
-                for start in range(0, n, args.batch_size):
-                    real = min(n, start + args.batch_size) - start
-                    idx = np.arange(start, start + args.batch_size,
-                                    dtype=np.int32)
-                    if real < args.batch_size:
-                        idx[real:] = 0
-                    _, scores = step(params, store, jnp.asarray(idx))
-                    fetch.put(scores, real)
-                del store  # free the split's HBM store before the next one
-            else:
-                for batch in data.iter_split(split, args.batch_size,
-                                             pad_to_batch=True):
-                    _, scores = step(
-                        params,
-                        jnp.asarray(batch.tokens),
-                        jnp.asarray(batch.image),
-                        jnp.asarray(batch.labels),
-                    )
-                    fetch.put(scores, len(batch.question_id))
-            if not (args.hbm_resident and not args.data_parallel):
-                scores_all = [s[:real] for s, real in fetch.results()]
+            # shared full-split driver (train/eval_loop.py): the whole
+            # split's score matrices in ONE dispatch + chunked bulk fetch
+            # by default; each split's HBM store is freed before the next
+            _, _, scores = run_full_split(
+                arch1, cfg, params, data, split, args.batch_size,
+                hbm_resident=bool(args.hbm_resident),
+                data_parallel=bool(args.data_parallel),
+                want="scores",
+            )
             key = f"{args.prefix}Out{split.capitalize()}"
             if key in out:
                 del out[key]
-            out.create_dataset(
-                key, dtype="float32", data=np.concatenate(scores_all)
-            )
+            out.create_dataset(key, dtype="float32", data=scores)
             print("wrote", key)
 
 

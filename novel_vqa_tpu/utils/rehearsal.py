@@ -133,10 +133,11 @@ def main(argv=None):
     ap.add_argument("--report", default="")
     args = ap.parse_args(argv)
 
-    # resolve --report against the INVOCATION cwd before chdir'ing into the
-    # work dir, so a relative path lands where the caller expects
+    # resolve caller-relative paths against the INVOCATION cwd before
+    # chdir'ing into the work dir, so they land where the caller expects
     if args.report:
         args.report = os.path.abspath(args.report)
+    args.vocab_dir = os.path.abspath(args.vocab_dir)
     os.makedirs(args.work_dir, exist_ok=True)
     os.chdir(args.work_dir)
     report = {"scale": args.scale, "dims": {}, "wall_s": {}, "memory": {}}

@@ -212,6 +212,12 @@ def test_m1_train_eval_accuracy(synthetic_dataset):
         out_dir_s + "OpenEnded_mscoco_val2014_lstm_novel_new_2_results.json"
     ) as f2:
         assert json.load(f1) == json.load(f2)
+    # the MC path differs more between modes (device-side argmax-over-
+    # choices vs the host numpy loop) — must also be identical
+    with open(mc_path) as f1, open(
+        out_dir_s + "MultipleChoice_mscoco_val2014_lstm_novel_new_2_results.json"
+    ) as f2:
+        assert json.load(f1) == json.load(f2)
 
     from novel_vqa_tpu.eval.drivers import evaluate
 
