@@ -132,6 +132,65 @@ def _cbr_multi(units, x, pool_last: bool = False):
     return outs
 
 
+def _pack_on() -> bool:
+    # A/B knob for width-shift lane packing of the narrow stem convs
+    # (docs/PERF.md Inception record).  Trace-time, like _branch_fusion_on.
+    import os
+
+    return os.environ.get("NOVEL_VQA_INC_PACK", "0") == "1"
+
+
+def _cbr_packed(p, x, padding: str):
+    """3x3 stride-1 conv+BN+ReLU with s horizontal output shifts packed
+    into the channel dimension — lane-fill surgery for C_out << 128.
+
+    The stem's 147x147 convs carry 32/64 output channels; the MXU pads
+    C_out to its 128 lanes, so those GEMMs run at <= 25/50% lane fill (the
+    round-3 attribution's remaining untreated diagnosis).  Packing s =
+    128//C_out horizontally adjacent output positions into the channel dim
+    makes the conv produce s*C_out (=128) channels at stride (1, s): the
+    packed kernel holds the SAME weights replicated at s horizontal
+    offsets (width 3 -> s+2, zero-filled elsewhere), so every output value
+    is the exact same contraction as the plain conv — no approximation,
+    only a reassociation.  Cost: the kernel widens 3 -> s+2, so the GEMM's
+    K grows (s+2)/3-fold (2x at s=4, 4/3x at s=2) while lane fill grows
+    s-fold — worth it only if XLA's native handling really idles the
+    lanes; measured on-device either way (docs/PERF.md).
+
+    BN/ReLU run on the UNPACKED output (per-channel params apply
+    unchanged).  Weights stay stored in the reference (3,3,C_in,C_out)
+    framing; the packed kernel is rebuilt per call from a handful of pads
+    on a tiny tensor."""
+    w = p["conv"]["w"]  # (3, 3, c_in, c_out)
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    s = max(1, 128 // co)
+    if s == 1:
+        return _cbr(p, x, padding=padding)
+    x = x.astype(w.dtype)
+    if padding == "SAME":
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    n, h, wi, _ = x.shape
+    wo = wi - 2  # VALID output width at the original stride 1
+    n_w = -(-wo // s)
+    need = s * n_w + 2  # input width a (s+2)-wide stride-s VALID conv reads
+    if need > wi:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, need - wi), (0, 0)))
+    # packed kernel: shift j's copy occupies kw2 in [j, j+3)
+    w2 = jnp.concatenate(
+        [jnp.pad(w, ((0, 0), (j, s - 1 - j), (0, 0), (0, 0))) for j in range(s)],
+        axis=-1,
+    )  # (3, s+2, c_in, s*c_out)
+    y = jax.lax.conv_general_dilated(
+        x, w2, window_strides=(1, s), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
+    )  # (n, h-2, n_w, s*c_out)
+    y = y.reshape(n, h - 2, n_w, s, co).reshape(n, h - 2, n_w * s, co)
+    y = y[:, :, :wo]
+    return jnp.maximum(batch_norm(p["bn"], y), 0.0)
+
+
 def _stem_conv_s2d(p, x):
     """The first stem conv (3x3, stride 2, VALID, C_in=3) via 2x2
     space-to-depth — the standard TPU fix for pathological C_in=3 convs.
@@ -340,8 +399,14 @@ def apply(
 ) -> jax.Array:
     s = params["stem"]
     x = _cbr(s["c1"], images, stride=(2, 2), padding="VALID")
-    x = _cbr(s["c2"], x, padding="VALID")
-    x = _cbr(s["c3"], x)
+    if _pack_on():
+        # NOVEL_VQA_INC_PACK=1: width-shift lane packing for the two
+        # narrow-channel 147x147 stem convs (see _cbr_packed)
+        x = _cbr_packed(s["c2"], x, padding="VALID")
+        x = _cbr_packed(s["c3"], x, padding="SAME")
+    else:
+        x = _cbr(s["c2"], x, padding="VALID")
+        x = _cbr(s["c3"], x)
     x = max_pool(x, 3, 2, "VALID")
     x = _cbr(s["c4"], x, padding="VALID")
     x = _cbr(s["c5"], x, padding="VALID")

@@ -56,6 +56,46 @@ def test_inception_s2d_stem_equals_plain_conv():
     np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain), atol=2e-5)
 
 
+def test_inception_packed_stem_conv_equals_plain():
+    """Width-shift lane packing (inception._cbr_packed) is an exact
+    reassociation of the plain 3x3/stride-1 conv+BN+ReLU: identical outputs
+    to float precision for both stem users — c2 (VALID, C_out=32, s=4 over
+    a width not divisible by 4) and c3 (SAME, C_out=64, s=2) — with
+    randomized BN stats."""
+    rs = np.random.RandomState(1)
+    for co, padding, h in ((32, "VALID", 23), (64, "SAME", 21)):
+        p = inception._cbr_init(jax.random.PRNGKey(co), 3, 3, 32, co)
+        p["bn"] = {
+            k: jnp.asarray(
+                rs.rand(co).astype(np.float32) + (0.5 if k == "var" else 0.0)
+            )
+            for k in p["bn"]
+        }
+        x = jnp.asarray(rs.randn(2, h, h, 32).astype(np.float32))
+        plain = inception._cbr(p, x, padding=padding)
+        packed = inception._cbr_packed(p, x, padding=padding)
+        assert packed.shape == plain.shape
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(plain), atol=2e-5
+        )
+
+
+def test_inception_pack_knob_end_to_end(monkeypatch):
+    """NOVEL_VQA_INC_PACK=1 routes the stem through _cbr_packed and the
+    full forward matches the default route."""
+    cfg = inception.InceptionConfig()
+    params = inception.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 299, 299, 3) * 0.1)
+    x = x.astype(jnp.float32)
+    monkeypatch.delenv("NOVEL_VQA_INC_PACK", raising=False)
+    base = inception.apply(params, cfg, x, tap="pool")
+    monkeypatch.setenv("NOVEL_VQA_INC_PACK", "1")
+    packed = inception.apply(params, cfg, x, tap="pool")
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(base), atol=5e-4, rtol=1e-4
+    )
+
+
 def test_vgg_device_prepro_math():
     u8 = np.zeros((1, 2, 2, 3), np.uint8)
     u8[..., 0] = 200  # R
