@@ -219,6 +219,34 @@ def test_m1_train_eval_accuracy(synthetic_dataset):
     ) as f2:
         assert json.load(f1) == json.load(f2)
 
+    # --data_parallel: per-batch index vector sharded over the 8-device CPU
+    # mesh through eval_loop.run_full_split's DP branch (store placed once,
+    # deferred fetches) — same result JSONs again
+    out_dir_dp = str(d["tmp"] / "result_dp") + "/"
+    eval_vqa_arch1.main(
+        [
+            "--input_img_h5", d["img_h5"],
+            "--input_ques_h5", d["ques_h5"],
+            "--input_json", d["meta_json"],
+            "--model_path", ckpt_dir + "lstm.h5",
+            "--batch_size", "64",
+            "--nhimage", "16",
+            "--input_encoding_size", "12",
+            "--rnn_size", "16",
+            "--rnn_layer", "2",
+            "--common_embedding_size", "16",
+            "--num_output", str(N_ANS),
+            "--out_path", out_dir_dp,
+            "--data_parallel", "1",
+        ]
+    )
+    for name in (
+        "OpenEnded_mscoco_val2014_lstm_novel_new_2_results.json",
+        "MultipleChoice_mscoco_val2014_lstm_novel_new_2_results.json",
+    ):
+        with open(out_dir + name) as f1, open(out_dir_dp + name) as f2:
+            assert json.load(f1) == json.load(f2)
+
     from novel_vqa_tpu.eval.drivers import evaluate
 
     acc = evaluate(d["ann_json"], d["ques_json"], oe_path)
