@@ -194,6 +194,21 @@ def test_lf_ensemble(vqa_files, tmp_path):
         vgg = f["VGGOutTest"][()]
         inc = f["InceptionOutTest"][()]
 
+    # the streaming (--hbm_resident 0) and DP (--data_parallel 1) data-
+    # movement modes of the shared driver must reproduce the default
+    # whole-split-scan scores (run_full_split's three branches)
+    # (DP batch must divide the 8-device CPU mesh: 40, not 50; argparse
+    # keeps the last --batch_size occurrence)
+    for tag, extra in (("stream", ["--hbm_resident", "0"]),
+                       ("dp", ["--data_parallel", "1", "--batch_size", "40"])):
+        alt_h5 = str(tmp_path / f"outputVectors_{tag}.h5")
+        alt = [a if a != out_h5 else alt_h5 for a in common]
+        lf_ensemble.cli(["compute", "--model_path", m1, "--prefix", "VGG"]
+                        + alt + extra)
+        with h5py.File(alt_h5) as f:
+            np.testing.assert_allclose(f["VGGOutTest"][()], vgg,
+                                       rtol=1e-5, atol=1e-5)
+
     out_dir = str(tmp_path / "lf") + "/"
     lf_ensemble.cli(
         [
