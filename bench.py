@@ -837,6 +837,9 @@ def bench_inception():
 
 
 def main():
+    from novel_vqa_tpu.core import compile_cache
+
+    compile_cache.maybe_enable()  # NOVEL_VQA_COMPILE_CACHE=<dir>, opt-in
     train = bench_train()
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     base = {}

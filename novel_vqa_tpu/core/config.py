@@ -48,6 +48,11 @@ def dataclass_from_args(cls: Type[T], args: argparse.Namespace) -> T:
 
 
 def parse_config(cls: Type[T], argv=None, description: str = "") -> T:
+    # every CLI parses through here — the one spot to honor the opt-in
+    # persistent XLA compilation cache (core/compile_cache.py)
+    from novel_vqa_tpu.core import compile_cache
+
+    compile_cache.maybe_enable()
     parser = argparse.ArgumentParser(description=description)
     add_dataclass_args(parser, cls)
     return dataclass_from_args(cls, parser.parse_args(argv))
