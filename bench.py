@@ -831,6 +831,7 @@ def bench_inception():
             "batch_size": batch,
             "compute_dtype": dtype,
             "branch_fusion": os.environ.get("NOVEL_VQA_INC_FUSE", "1") != "0",
+            "stem_lane_packing": os.environ.get("NOVEL_VQA_INC_PACK", "0") == "1",
         }
     )
     return rec

@@ -14,6 +14,7 @@ MC fallback for all-zero choice rows mirrors the host branch.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def device_predict(scores, choices=None):
@@ -35,3 +36,24 @@ def device_predict(scores, choices=None):
     mc_pred = jnp.take_along_axis(choices, mc_idx[:, None], axis=1)[:, 0]
     mc_pred = jnp.where(valid.any(axis=1), mc_pred, pred).astype(jnp.int32)
     return pred, mc_pred
+
+
+def host_mc_predict(scores, mc_ans, pred):
+    """Host-side MC argmax-over-choices (004_eval_model.lua:258-273) for the
+    streaming eval path, where the full (n, num_output) score matrix is on
+    host and predictions were not computed on device.  ``mc_ans``: (n, 18)
+    int of 1-indexed choice ids, 0 = empty slot; ``pred``: (n,) 1-indexed OE
+    argmax ids (the fallback for all-zero choice rows, as ``device_predict``).
+    Returns (n,) int64 1-indexed MC answer ids.  Shared by
+    eval_vqa_arch{1,2} so the two CLIs cannot drift."""
+    out = np.empty(len(pred), dtype=np.int64)
+    for i in range(len(pred)):
+        choices = mc_ans[i]
+        valid = choices[choices != 0].astype(np.int64)
+        # scores are 1-indexed by answer id (004_eval_model.lua:263-270)
+        out[i] = (
+            int(valid[np.argmax(scores[i, valid - 1])])
+            if valid.size
+            else int(pred[i])
+        )
+    return out

@@ -93,17 +93,28 @@ class DeferredFetch:
 def make_eval_forward(
     eval_fn: Callable, cfg, batch_size: int, data_parallel: bool, mesh=None
 ):
-    """CLI helper for the eval/LF-compute loops: returns the per-batch
-    forward ``step(params, *batch)`` — a plain ``eval_fn`` partial on one
-    device, or the batch-sharded DP step over the attached mesh when
-    ``--data_parallel`` is set (the full-split inference passes of
-    004_eval_model.lua:202-231 / 003_compute_lf_answers.lua:373-482 are
-    embarrassingly parallel).  The caller's ``pad_to_batch=True`` iteration
-    keeps every batch exactly ``batch_size`` rows, so one divisibility check
-    covers the run."""
+    """CLI helper for the eval/LF-compute loops: returns ``(step, place)``
+    — the per-batch forward ``step(params, *batch)`` (a plain ``eval_fn``
+    partial on one device, or the batch-sharded DP step over the attached
+    mesh when ``--data_parallel`` is set — the full-split inference passes
+    of 004_eval_model.lua:202-231 / 003_compute_lf_answers.lua:373-482 are
+    embarrassingly parallel) and ``place(pytree)``, which commits a
+    replicated operand (the params) to the mesh ONCE.  Callers MUST pass
+    params through ``place``: an uncommitted params tree would otherwise be
+    re-replicated across the mesh on EVERY per-batch dispatch (tens of MB
+    x hundreds of batches at novel_v2 scale).  The caller's
+    ``pad_to_batch=True`` iteration keeps every batch exactly
+    ``batch_size`` rows, so one divisibility check covers the run."""
     if not data_parallel:
-        return functools.partial(eval_fn, cfg)
-    from novel_vqa_tpu.parallel.mesh import make_dp_eval_step, make_mesh
+        def place(pytree):
+            return jax.tree_util.tree_map(jnp.asarray, pytree)
+
+        return functools.partial(eval_fn, cfg), place
+    from novel_vqa_tpu.parallel.mesh import (
+        make_dp_eval_step,
+        make_mesh,
+        replicated,
+    )
 
     if mesh is None:
         mesh = make_mesh()
@@ -113,7 +124,12 @@ def make_eval_forward(
             f"--data_parallel: batch_size {batch_size} not divisible by the "
             f"mesh's {n_dev} devices"
         )
-    return make_dp_eval_step(cfg, mesh, eval_fn)
+    repl = replicated(mesh)
+
+    def place(pytree):
+        return jax.device_put(pytree, repl)
+
+    return make_dp_eval_step(cfg, mesh, eval_fn), place
 
 
 def make_eval_forward_indexed(
@@ -123,16 +139,16 @@ def make_eval_forward_indexed(
     """CLI helper for the HBM-resident eval path: returns ``(step, place)``
     where ``step(params, data, qinds)`` takes the device-resident split
     store and a per-batch (B,) index vector — the only per-batch
-    host->device transfer — and ``place(host_store)`` uploads the split
-    store ONCE with the sharding the step expects.  DP shards the index
+    host->device transfer — and ``place(pytree)`` uploads a replicated
+    operand ONCE with the sharding the step expects.  DP shards the index
     vector; store and params replicate (mesh.make_dp_eval_indexed_step).
-    Callers MUST place the store through ``place``: an uncommitted
-    single-device store would otherwise be re-replicated across the mesh on
-    EVERY per-batch dispatch (~663 MB x 243 batches at novel_v2 scale),
-    defeating the upload-once design."""
+    Callers MUST place BOTH the store and the params through ``place``:
+    an uncommitted operand would otherwise be re-replicated across the
+    mesh on EVERY per-batch dispatch (~663 MB store x 243 batches at
+    novel_v2 scale; params likewise), defeating the upload-once design."""
     if not data_parallel:
-        def place(host_store):
-            return jax.tree_util.tree_map(jnp.asarray, host_store)
+        def place(pytree):
+            return jax.tree_util.tree_map(jnp.asarray, pytree)
 
         return functools.partial(eval_indexed_fn, cfg), place
     from novel_vqa_tpu.parallel.mesh import (
@@ -151,8 +167,8 @@ def make_eval_forward_indexed(
         )
     repl = replicated(mesh)
 
-    def place(host_store):
-        return jax.device_put(host_store, repl)
+    def place(pytree):
+        return jax.device_put(pytree, repl)
 
     return make_dp_eval_indexed_step(cfg, mesh, eval_indexed_fn), place
 

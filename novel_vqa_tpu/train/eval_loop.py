@@ -7,10 +7,10 @@ strategies (the round-4 A/B record in docs/PERF.md §"Full-split eval"):
   program (``eval_predict_scan``/``eval_scores_scan`` over the HBM-resident
   store); score results come back through ``fetch_chunked``.
 * ``hbm_resident and data_parallel`` — per-batch dispatches with the (B,)
-  index vector sharded over the mesh, store/params replicated and placed
-  ONCE (``make_eval_forward_indexed``'s ``place``), deferred fetches.
+  index vector sharded over the mesh, store AND params replicated and
+  placed ONCE (``make_eval_forward_indexed``'s ``place``), deferred fetches.
 * ``not hbm_resident`` — stream every batch host->device (for stores larger
-  than device memory); optionally batch-sharded DP.
+  than device memory); optionally batch-sharded DP (params placed ONCE).
 
 Callers: train/eval_vqa_arch1.py, train/eval_vqa_arch2.py,
 train/lf_ensemble.py (reference loops 004_eval_model.lua:202-273,
@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,10 +51,9 @@ def run_full_split(
     n = data.num_examples(split)
 
     if hbm_resident and not data_parallel:
-        _, place = make_eval_forward_indexed(
-            arch.eval_step_indexed, cfg, batch_size, False
-        )
-        store = place(data.split_store(split))
+        # single device, ONE dispatch for the whole split: the store (and
+        # params, inside the scan call) upload once by construction
+        store = jax.tree_util.tree_map(jnp.asarray, data.split_store(split))
         n_batches = -(-n // batch_size)
         if want == "predict":
             _, pred_m, mc_m = arch.eval_predict_scan(
@@ -78,6 +78,7 @@ def run_full_split(
         )
         step, place = make_eval_forward_indexed(fn, cfg, batch_size, True)
         store = place(data.split_store(split))
+        params = place(params)  # commit ONCE, not re-replicated per dispatch
         fetch = DeferredFetch()
         for start in range(0, n, batch_size):
             real = min(n, start + batch_size) - start
@@ -94,7 +95,8 @@ def run_full_split(
         mc_pred = np.concatenate([p[1][:r] for p, r in res]).astype(np.int64)
         return pred, mc_pred, None
 
-    step = make_eval_forward(arch.eval_step, cfg, batch_size, data_parallel)
+    step, place = make_eval_forward(arch.eval_step, cfg, batch_size, data_parallel)
+    params = place(params)  # commit ONCE, not re-replicated per dispatch
     fetch = DeferredFetch()
     for batch in data.iter_split(split, batch_size, pad_to_batch=True):
         _, scores = step(

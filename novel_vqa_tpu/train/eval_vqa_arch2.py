@@ -9,12 +9,11 @@ import dataclasses
 import json
 import os
 
-import numpy as np
-
 from novel_vqa_tpu.core.checkpoint import arch2_from_flat, load_flat_h5
 from novel_vqa_tpu.core.config import parse_config
 from novel_vqa_tpu.data.vqa import VQAData
 from novel_vqa_tpu.models.vqa import arch2
+from novel_vqa_tpu.models.vqa.predict import host_mc_predict
 from novel_vqa_tpu.train.eval_loop import run_full_split
 
 
@@ -102,24 +101,12 @@ def main(argv=None):
 
     mc_ans = data.d.get("mc_ans_test")
     if mc_ans is not None:
-        if mc_pred is not None:
-            mc = [
-                {"question_id": int(q), "answer": ix_to_ans[str(int(p))]}
-                for q, p in zip(qids, mc_pred)
-            ]
-        else:
-            mc = []
-            for i in range(len(qids)):
-                choices = mc_ans[i]
-                valid = choices[choices != 0].astype(np.int64)
-                best = (
-                    int(valid[np.argmax(scores[i, valid - 1])])
-                    if valid.size
-                    else int(pred[i])
-                )
-                mc.append(
-                    {"question_id": int(qids[i]), "answer": ix_to_ans[str(best)]}
-                )
+        if mc_pred is None:  # streaming path: argmax-over-choices on host
+            mc_pred = host_mc_predict(scores, mc_ans, pred)
+        mc = [
+            {"question_id": int(q), "answer": ix_to_ans[str(int(p))]}
+            for q, p in zip(qids, mc_pred)
+        ]
         mc_path = os.path.join(
             opt.out_path, f"MultipleChoice_{opt.result_name}_results.json"
         )

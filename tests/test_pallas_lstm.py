@@ -276,3 +276,62 @@ def test_fused2_encode_matches_reference_with_same_mask():
         d = np.abs(np.asarray(a) - np.asarray(b))
         scale = np.abs(np.asarray(a)).max() + 1e-3
         assert d.max() / scale < 5e-2, (d.max(), scale)
+
+
+def test_fused2_encode_train_wrapper():
+    """The NOVEL_VQA_FUSED2 routing wrapper itself (pallas_lstm2.
+    fused2_encode_train: rbg dropout-mask draw, per-layer bx+bh summing,
+    bf16 casts, (2, N, H) stacking) — the inner-kernel test above cannot
+    catch wrapper wiring bugs (wrong layer's biases, wrong keep-rate), and
+    the lstm_encode route is TPU-gated so the CPU suite never reaches it."""
+    from novel_vqa_tpu.ops import pallas_lstm2 as pl2
+    from novel_vqa_tpu.ops.dropout import dropout
+    from novel_vqa_tpu.ops.lstm import lstm_encode
+
+    rs = np.random.RandomState(1)
+    T, N, In, H = 5, 8, 12, 16
+    k = jax.random.PRNGKey(3)
+    layers = [
+        lstm_layer_init(jax.random.fold_in(k, 1), In, H),
+        lstm_layer_init(jax.random.fold_in(k, 2), H, H),
+    ]
+    xs = jnp.asarray(rs.randn(T, N, In), jnp.float32)
+    lengths = rs.randint(1, T + 1, size=N)
+    mask = jnp.asarray(
+        (np.arange(T)[:, None] >= (T - lengths[None, :])).astype(np.float32)
+    )
+
+    # rate 0: must match the XLA encode (independent oracle; bf16 tolerance)
+    c_f, h_f = pl2.fused2_encode_train(
+        layers, xs, mask, 0.0, None, tile_n=8, interpret=True
+    )
+    c_r, h_r = lstm_encode(layers, xs, mask, deterministic=True)
+    assert c_f.shape == tuple(c_r.shape) == (2, N, H)
+    np.testing.assert_allclose(
+        np.asarray(c_f, np.float32), np.asarray(c_r), rtol=3e-2, atol=3e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_f, np.float32), np.asarray(h_r), rtol=3e-2, atol=3e-2
+    )
+
+    # rate 0.5, fixed rng: the wrapper must equal the inner kernel fed the
+    # ONE whole-sequence rbg multiplier it documents (same draw) with the
+    # per-layer bias sums; the multiplier itself must be {0, 1/keep}-scaled
+    rng = jax.random.PRNGKey(7)
+    c_f, h_f = pl2.fused2_encode_train(
+        layers, xs, mask, 0.5, rng, tile_n=8, interpret=True
+    )
+    drop_f32 = dropout(rng, jnp.ones((T, N, H), jnp.float32), 0.5, False)
+    vals = set(np.unique(np.asarray(drop_f32)))
+    assert vals <= {0.0, 2.0} and len(vals) == 2, vals
+    bf = jnp.bfloat16
+    c1, h1, c2, h2 = pl2._fused2(
+        xs.astype(bf), mask, drop_f32.astype(bf),
+        layers[0]["wx"].astype(bf), layers[0]["wh"].astype(bf),
+        (layers[0]["bx"] + layers[0]["bh"]).astype(bf),
+        layers[1]["wx"].astype(bf), layers[1]["wh"].astype(bf),
+        (layers[1]["bx"] + layers[1]["bh"]).astype(bf),
+        8, True,  # tile_n=8, interpret
+    )
+    np.testing.assert_array_equal(np.asarray(c_f), np.asarray(jnp.stack([c1, c2])))
+    np.testing.assert_array_equal(np.asarray(h_f), np.asarray(jnp.stack([h1, h2])))

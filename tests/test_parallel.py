@@ -612,3 +612,36 @@ def test_eval_scores_scan_matches_streaming():
     )
     np.testing.assert_allclose(scores_s, np.asarray(scores_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_eval_forward_place_commits_replicated_params():
+    """Both eval factories' ``place`` must commit a params-like pytree with
+    the mesh's replicated sharding — an uncommitted params tree is otherwise
+    re-replicated on EVERY per-batch dispatch (the round-4 review finding:
+    tens of MB x hundreds of batches through the tunnel at novel_v2 scale).
+    run_full_split routes params through place in both DP branches."""
+    from novel_vqa_tpu.parallel.dp import (
+        make_eval_forward,
+        make_eval_forward_indexed,
+    )
+
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=1,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+
+    for factory, fn in (
+        (make_eval_forward, arch1.eval_step),
+        (make_eval_forward_indexed, arch1.eval_step_indexed),
+    ):
+        _, place = factory(fn, cfg, 40, True, mesh=mesh)
+        placed = place(params)
+        for leaf in jax.tree_util.tree_leaves(placed):
+            assert leaf.sharding == repl, (factory.__name__, leaf.sharding)
+        # non-DP place: plain device arrays, no mesh involvement
+        _, place1 = factory(fn, cfg, 40, False)
+        leaves = jax.tree_util.tree_leaves(place1(params))
+        assert all(isinstance(l, jax.Array) for l in leaves)
