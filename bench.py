@@ -45,6 +45,48 @@ def _log(*a):
     print(*a, file=sys.stderr)
 
 
+def wait_for_backend():
+    """Bounded guard against a hung device backend (the axon TPU tunnel
+    occasionally goes fully unresponsive: any process touching it blocks
+    forever in backend init, so a bench launched during an outage would
+    hang silently instead of recording anything).  Probes ``jax.devices()``
+    in a SUBPROCESS with a timeout (the only way to bound a hung backend
+    init) and retries for up to BENCH_TUNNEL_WAIT seconds (default 3600 —
+    observed outages recover in <1 h); on a healthy backend (TPU up, or
+    JAX_PLATFORMS=cpu) the first probe returns in seconds.  Gives up with
+    a LOUD one-line JSON error on stdout and a nonzero exit, never a hang."""
+    import subprocess
+
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", 180))
+    budget = float(os.environ.get("BENCH_TUNNEL_WAIT", 3600))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                print(json.dumps({
+                    "metric": "arch1_train_throughput",
+                    "value": None,
+                    "unit": "qa_pairs_per_sec",
+                    "vs_baseline": None,
+                    "error": "device backend unreachable: jax.devices() probe "
+                             f"failed {attempt}x over {budget:.0f}s ({e!r})",
+                }))
+                raise SystemExit(1)
+            _log(f"backend probe {attempt} failed ({e!r}); "
+                 f"retrying for another {remaining:.0f}s")
+            time.sleep(min(240, max(1, remaining)))
+
+
 def _flops_per_step(tag, analytic, lower_fn):
     """Resolve the per-step FLOP count: ``Compiled.cost_analysis()`` when it
     is in sane agreement (0.5-3.0x) with the analytic matmul count, else the
@@ -840,6 +882,7 @@ def bench_inception():
 def main():
     from novel_vqa_tpu.core import compile_cache
 
+    wait_for_backend()  # bounded tunnel-outage guard: hang -> wait or loud error
     compile_cache.maybe_enable()  # NOVEL_VQA_COMPILE_CACHE=<dir>, opt-in
     train = bench_train()
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")

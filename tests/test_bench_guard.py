@@ -1,0 +1,41 @@
+"""bench.py's bounded backend-outage guard (wait_for_backend): a bench
+launched while the axon tunnel is hung must either wait it out or fail
+LOUDLY with one JSON error line — never hang silently past its budget
+(the driver runs bench.py unattended at round end)."""
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO) if REPO not in sys.path else None
+
+import bench  # noqa: E402
+
+
+def test_healthy_backend_returns_fast(monkeypatch):
+    # pin the PROBE SUBPROCESS to the CPU backend (drop the axon
+    # sitecustomize from PYTHONPATH, as conftest/verify do) so this test
+    # never touches the tunnel; the guard must return on the first attempt
+    monkeypatch.setenv("PYTHONPATH", REPO)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "120")
+    bench.wait_for_backend()
+
+
+def test_unreachable_backend_fails_loud(monkeypatch, capsys):
+    # force every probe to fail (exit 1) and exhaust a zero budget: the
+    # guard must emit ONE parseable JSON error line and SystemExit(1)
+    monkeypatch.setattr(sys, "executable", "/bin/false")
+    monkeypatch.setenv("BENCH_TUNNEL_WAIT", "0")
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "5")
+    with pytest.raises(SystemExit) as exc:
+        bench.wait_for_backend()
+    assert exc.value.code == 1
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] is None
+    assert "unreachable" in rec["error"]
