@@ -83,6 +83,10 @@ bool decode_jpeg(FILE* f, Image* out, int scale_target) {
   out->h = cinfo.output_height;
   out->channels = 3;
   out->data = static_cast<uint8_t*>(malloc(size_t(out->w) * out->h * 3));
+  if (!out->data) {  // hostile dims can make this allocation huge
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data + size_t(cinfo.output_scanline) * out->w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -107,7 +111,10 @@ bool decode_png(FILE* f, Image* out) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return false;
   }
+  // volatile: read after a potential longjmp from libpng's error handler
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free(rows);
     png_destroy_read_struct(&png, &info, nullptr);
     return false;
   }
@@ -134,8 +141,12 @@ bool decode_png(FILE* f, Image* out) {
   out->h = png_get_image_height(png, info);
   out->channels = 3;
   out->data = static_cast<uint8_t*>(malloc(size_t(out->w) * out->h * 3));
-  png_bytep* rows =
-      static_cast<png_bytep*>(malloc(sizeof(png_bytep) * out->h));
+  rows = static_cast<png_bytep*>(malloc(sizeof(png_bytep) * out->h));
+  if (!out->data || !rows) {  // hostile dims can make these huge
+    free(rows);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;  // out->data (if any) freed by the caller on failure
+  }
   for (int y = 0; y < out->h; y++)
     rows[y] = out->data + size_t(y) * out->w * 3;
   png_read_image(png, rows);
@@ -156,22 +167,28 @@ void bilinear_resize(const uint8_t* src, int sw, int sh, int x0, int y0,
   const float sy = float(ch) / dh;
   for (int y = 0; y < dh; y++) {
     float fy = (y + 0.5f) * sy - 0.5f;
+    // clamp to the crop so border weights stay in [0,1] (extrapolating
+    // weights > 1 can leave v outside [0,255] — UB on the uint8 cast)
+    if (fy < 0) fy = 0;
+    if (fy > ch - 1) fy = float(ch - 1);
     int iy = int(fy);
-    if (fy < 0) { fy = 0; iy = 0; }
     if (iy >= ch - 1) iy = ch - 2 < 0 ? 0 : ch - 2;
     float wy = fy - iy;
     if (ch == 1) { iy = 0; wy = 0; }
     for (int x = 0; x < dw; x++) {
       float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      if (fx > cw - 1) fx = float(cw - 1);
       int ix = int(fx);
-      if (fx < 0) { fx = 0; ix = 0; }
       if (ix >= cw - 1) ix = cw - 2 < 0 ? 0 : cw - 2;
       float wx = fx - ix;
       if (cw == 1) { ix = 0; wx = 0; }
       const uint8_t* p00 = src + (size_t(y0 + iy) * sw + (x0 + ix)) * 3;
-      const uint8_t* p01 = p00 + 3;
-      const uint8_t* p10 = p00 + size_t(sw) * 3;
-      const uint8_t* p11 = p10 + 3;
+      // 1-px crops: the neighbor taps have weight 0 but would still READ
+      // past the row/buffer — point them back at p00
+      const uint8_t* p01 = cw == 1 ? p00 : p00 + 3;
+      const uint8_t* p10 = ch == 1 ? p00 : p00 + size_t(sw) * 3;
+      const uint8_t* p11 = cw == 1 ? p10 : p10 + 3;
       for (int c = 0; c < 3; c++) {
         float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
                   wy * ((1 - wx) * p10[c] + wx * p11[c]);
@@ -242,6 +259,21 @@ void* batch_worker(void* arg) {
   return nullptr;
 }
 
+void run_pool(BatchTask* task, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > task->n) n_threads = task->n;
+  if (n_threads > 64) n_threads = 64;
+  pthread_t threads[64];
+  int created = 0;
+  for (int i = 0; i < n_threads; i++) {
+    if (pthread_create(&threads[created], nullptr, batch_worker, task) != 0)
+      break;  // proceed with however many workers started
+    created++;
+  }
+  if (created == 0) batch_worker(task);  // degrade to the calling thread
+  for (int i = 0; i < created; i++) pthread_join(threads[i], nullptr);
+}
+
 }  // namespace
 
 extern "C" {
@@ -262,13 +294,7 @@ int imagepipe_decode_batch2(const char** paths, int n, int size,
                             uint8_t* out, int* status) {
   BatchTask task{paths, n, size, center_crop, fast_scale, out, status, 0,
                  PTHREAD_MUTEX_INITIALIZER};
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > n) n_threads = n;
-  pthread_t threads[64];
-  if (n_threads > 64) n_threads = 64;
-  for (int i = 0; i < n_threads; i++)
-    pthread_create(&threads[i], nullptr, batch_worker, &task);
-  for (int i = 0; i < n_threads; i++) pthread_join(threads[i], nullptr);
+  run_pool(&task, n_threads);
   int ok = 0;
   for (int i = 0; i < n; i++) ok += (status[i] == 0);
   return ok;
@@ -277,18 +303,8 @@ int imagepipe_decode_batch2(const char** paths, int n, int size,
 int imagepipe_decode_batch(const char** paths, int n, int size,
                            int center_crop, int n_threads, uint8_t* out,
                            int* status) {
-  BatchTask task{paths, n, size, center_crop, /*fast_scale=*/0, out, status, 0,
-                 PTHREAD_MUTEX_INITIALIZER};
-  if (n_threads < 1) n_threads = 1;
-  if (n_threads > n) n_threads = n;
-  pthread_t threads[64];
-  if (n_threads > 64) n_threads = 64;
-  for (int i = 0; i < n_threads; i++)
-    pthread_create(&threads[i], nullptr, batch_worker, &task);
-  for (int i = 0; i < n_threads; i++) pthread_join(threads[i], nullptr);
-  int ok = 0;
-  for (int i = 0; i < n; i++) ok += (status[i] == 0);
-  return ok;
+  return imagepipe_decode_batch2(paths, n, size, center_crop,
+                                 /*fast_scale=*/0, n_threads, out, status);
 }
 
 }  // extern "C"

@@ -66,3 +66,30 @@ def test_png_decode(tmp_path):
     pil, _ = I.decode_resize(p, 32)
     diff = np.abs(native.astype(int) - pil.astype(int))
     assert np.mean(diff) < 15
+
+
+def test_degenerate_dims_and_upsampling(tmp_path):
+    """1-pixel-wide/tall images and sources smaller than the target: the
+    border taps must not read past the decode buffer and every upsampled
+    output value must stay a valid uint8 (the bilinear border weights are
+    clamped to [0,1] — extrapolating weights yielded out-of-[0,255] floats,
+    UB on the uint8 cast)."""
+    from PIL import Image
+
+    rs = np.random.RandomState(3)
+    cases = [(1, 50), (50, 1), (1, 1), (2, 2), (3, 224)]
+    for i, (w, h) in enumerate(cases):
+        arr = rs.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        for ext in ("png", "jpg"):
+            p = str(tmp_path / f"deg{i}.{ext}")
+            Image.fromarray(arr).save(p)
+            img, missing = native_images.decode_resize_native(
+                p, 64, center_crop_square=False
+            )
+            assert not missing and img.shape == (64, 64, 3), (w, h, ext)
+            # upsampled output must interpolate, never extrapolate: values
+            # stay within the source's per-channel range (+/- jpeg noise)
+            if ext == "png":
+                for c in range(3):
+                    assert img[..., c].min() >= arr[..., c].min(), (w, h, c)
+                    assert img[..., c].max() <= arr[..., c].max(), (w, h, c)
