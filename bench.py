@@ -884,7 +884,20 @@ def main():
 
     wait_for_backend()  # bounded tunnel-outage guard: hang -> wait or loud error
     compile_cache.maybe_enable()  # NOVEL_VQA_COMPILE_CACHE=<dir>, opt-in
-    train = bench_train()
+    try:
+        train = bench_train()
+    except Exception as e:
+        # a primary-workload failure (e.g. the tunnel dying mid-run) must
+        # still leave ONE parseable JSON line for the driver, like the
+        # wait_for_backend give-up path
+        print(json.dumps({
+            "metric": "vqa_arch1_train_throughput",
+            "value": None,
+            "unit": "qa_pairs_per_sec",
+            "vs_baseline": None,
+            "error": f"primary train bench failed: {e!r}",
+        }))
+        raise SystemExit(1)
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     base = {}
     if os.path.exists(baseline_path):

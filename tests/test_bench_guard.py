@@ -39,3 +39,21 @@ def test_unreachable_backend_fails_loud(monkeypatch, capsys):
     rec = json.loads(out[0])
     assert rec["value"] is None
     assert "unreachable" in rec["error"]
+
+
+def test_primary_failure_still_emits_json_line(monkeypatch, capsys):
+    # if bench_train throws (tunnel dying mid-run), main() must still print
+    # one parseable JSON line and exit nonzero
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: None)
+
+    def boom():
+        raise RuntimeError("tunnel died mid-run")
+
+    monkeypatch.setattr(bench, "bench_train", boom)
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 1
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] is None and "tunnel died mid-run" in rec["error"]
