@@ -24,6 +24,7 @@ from novel_vqa_tpu.models.vision.layers import (
     batch_norm,
     conv_init,
     linear,
+    raw_conv,
     linear_init,
     max_pool,
 )
@@ -48,15 +49,7 @@ def _cbr(p, x, stride=(1, 1), padding="SAME"):
     # f32 cotangent against bf16 operands is rejected), which the
     # weak-paired finetune differentiates through (--cnn_arch inception
     # --compute_dtype bfloat16).  BN upcasts to f32 via its f32 stats.
-    w = p["conv"]["w"]
-    y = jax.lax.conv_general_dilated(
-        x.astype(w.dtype),
-        w,
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
-    )
+    y = raw_conv(p["conv"]["w"], x, stride, padding)
     return jnp.maximum(batch_norm(p["bn"], y), 0.0)
 
 
@@ -105,16 +98,7 @@ def _cbr_multi(units, x, pool_last: bool = False):
             outs.append(_cbr(u, inp))
         return outs
     w = jnp.concatenate([u["conv"]["w"] for u in units], axis=-1)
-    y = jax.lax.conv_general_dilated(
-        x.astype(w.dtype),
-        w,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        # f32-weights pin f32 accumulation; bf16 weights take the natural
-        # bf16 output so the conv stays differentiable (see _cbr)
-        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
-    )
+    y = raw_conv(w, x)
     bn = {
         k: jnp.concatenate([u["bn"][k] for u in units])
         for k in ("scale", "offset", "mean", "var")
@@ -181,11 +165,7 @@ def _cbr_packed(p, x, padding: str):
         [jnp.pad(w, ((0, 0), (j, s - 1 - j), (0, 0), (0, 0))) for j in range(s)],
         axis=-1,
     )  # (3, s+2, c_in, s*c_out)
-    y = jax.lax.conv_general_dilated(
-        x, w2, window_strides=(1, s), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
-    )  # (n, h-2, n_w, s*c_out)
+    y = raw_conv(w2, x, (1, s), "VALID")  # (n, h-2, n_w, s*c_out)
     y = y.reshape(n, h - 2, n_w, s, co).reshape(n, h - 2, n_w * s, co)
     y = y[:, :, :wo]
     return jnp.maximum(batch_norm(p["bn"], y), 0.0)
@@ -220,11 +200,7 @@ def _stem_conv_s2d(p, x):
     w4 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
     w2 = w4.reshape(2, 2, 2, 2, c, -1).transpose(0, 2, 1, 3, 4, 5)
     w2 = w2.reshape(2, 2, 4 * c, -1)
-    y = jax.lax.conv_general_dilated(
-        xs, w2, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    y = raw_conv(w2, xs, (1, 1), "VALID")
     return jnp.maximum(batch_norm(p["bn"], y), 0.0)
 
 

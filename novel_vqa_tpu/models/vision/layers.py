@@ -47,18 +47,28 @@ def conv2d(
     # bf16, and the bias/ReLU epilogue runs bf16 too — bf16-storage numerics
     # are therefore backend-dependent (keep CPU-mesh bf16 test tolerances
     # loose; the documented <=1% extraction deviation bound is TPU-measured).
-    w = params["w"]
-    preferred = jnp.float32 if w.dtype == jnp.float32 else None
-    y = jax.lax.conv_general_dilated(
+    y = raw_conv(params["w"], x, stride, padding) + params["b"]
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def raw_conv(w, x, stride=(1, 1), padding="SAME"):
+    """NHWC conv carrying the ONE load-bearing dtype policy for every vision
+    conv (conv2d here; inception's _cbr/_cbr_multi/_cbr_packed/_stem_conv_s2d):
+    the input follows the weight dtype; f32 weights pin f32 accumulation
+    (``preferred_element_type``); bf16 weights take the NATURAL bf16 output —
+    the MXU still accumulates f32 internally, and a same-dtype output is
+    required for the conv TRANSPOSE rule (an f32 cotangent against bf16
+    operands is rejected), which the weak-paired finetune differentiates
+    through.  Keep the policy HERE only — a per-call-site restatement is how
+    one path silently diverges."""
+    return jax.lax.conv_general_dilated(
         x.astype(w.dtype),
         w,
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred,
+        preferred_element_type=jnp.float32 if w.dtype == jnp.float32 else None,
     )
-    y = y + params["b"]
-    return jnp.maximum(y, 0.0) if relu else y
 
 
 def bf16_storage_cast(params):

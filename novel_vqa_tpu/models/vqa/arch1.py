@@ -45,6 +45,7 @@ from novel_vqa_tpu.ops import (
     pack_state,
 )
 from novel_vqa_tpu.ops import optim as ref_optim
+from novel_vqa_tpu.parallel.dp import gather_batch, vqa_scan_steps
 
 
 class Arch1Config(NamedTuple):
@@ -137,7 +138,16 @@ def apply(
     )
     tv_q = pack_state(c, h)  # (N, 2*rnn*layers)
 
-    fuse = axb_apply if cfg.fusion == "axb" else askipb_apply
+    # explicit routing: an unknown --fusion value must raise at trace time,
+    # not silently select the wp fusion head (wrong scores, no error)
+    if cfg.fusion == "axb":
+        fuse = axb_apply
+    elif cfg.fusion == "askipb":
+        fuse = askipb_apply
+    else:
+        raise ValueError(
+            f"cfg.fusion={cfg.fusion!r}: must be 'axb' or 'askipb'"
+        )
     fused = fuse(
         params["fusion"],
         tv_q,
@@ -253,28 +263,13 @@ def train_steps_scan(
     host dispatch entirely — the steady-state production path, and the right
     shape for high-latency links between host and device.
 
-    Returns (params, opt_state, losses (n_steps,)).
+    Returns (params, opt_state, losses (n_steps,)).  The scan body is the
+    shared :func:`novel_vqa_tpu.parallel.dp.vqa_scan_steps` (also behind the
+    DP builder and arch2), so the sampling semantics have one source.
     """
-    n = data["tokens"].shape[0]
-
-    def body(carry, step_rng):
-        params, opt_state = carry
-        k_sample, k_drop = jax.random.split(step_rng)
-        qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, cfg, tokens, image, labels, k_drop
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
-    step_rngs = jax.random.split(rng, n_steps)
-    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
-    return params, opt_state, losses
+    return vqa_scan_steps(
+        loss_fn, cfg, tx, params, opt_state, data, rng, n_steps, batch_size
+    )
 
 
 def make_dp_steps_scan(
@@ -312,10 +307,7 @@ def train_step_indexed(
     crosses the host boundary.  This removes the host->HBM bandwidth term
     from the steady-state step entirely.
     """
-    tokens = jnp.take(data["tokens"], qinds, axis=0)
-    labels = jnp.take(data["answers"], qinds, axis=0)
-    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-    image = jnp.take(data["image"], iminds, axis=0)
+    tokens, image, labels = gather_batch(data, qinds)
     loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, image, labels, rng)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

@@ -29,6 +29,7 @@ import optax
 from novel_vqa_tpu.models.seq import autoencoder as ae
 from novel_vqa_tpu.ops import cross_entropy, dropout
 from novel_vqa_tpu.ops import optim as ref_optim
+from novel_vqa_tpu.parallel.dp import gather_batch, vqa_scan_steps
 
 
 class Arch2Config(NamedTuple):
@@ -136,10 +137,7 @@ def make_optimizer(
 @functools.partial(jax.jit, static_argnums=(0, 1), donate_argnums=(2, 3))
 def train_step_indexed(cfg, tx, params, opt_state, data, qinds, rng):
     """HBM-resident indexed train step (see arch1.train_step_indexed)."""
-    tokens = jnp.take(data["tokens"], qinds, axis=0)
-    labels = jnp.take(data["answers"], qinds, axis=0)
-    iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-    image = jnp.take(data["image"], iminds, axis=0)
+    tokens, image, labels = gather_batch(data, qinds)
     loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens, image, labels, rng)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -167,27 +165,10 @@ from novel_vqa_tpu.models.vqa.eval_paths import build_eval_fns as _build_eval_fn
 @functools.partial(jax.jit, static_argnums=(0, 1, 5, 6), donate_argnums=(2, 3))
 def train_steps_scan(cfg, tx, params, opt_state, data, n_steps: int, batch_size: int, rng):
     """N iterations per dispatch with on-device batch sampling (see
-    arch1.train_steps_scan)."""
-    n = data["tokens"].shape[0]
-
-    def body(carry, step_rng):
-        params, opt_state = carry
-        k_sample, k_drop = jax.random.split(step_rng)
-        qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
-        tokens = jnp.take(data["tokens"], qinds, axis=0)
-        labels = jnp.take(data["answers"], qinds, axis=0)
-        iminds = jnp.take(data["img_pos"], qinds, axis=0).astype(jnp.int32) - 1
-        image = jnp.take(data["image"], iminds, axis=0)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, cfg, tokens, image, labels, k_drop
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
-    step_rngs = jax.random.split(rng, n_steps)
-    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
-    return params, opt_state, losses
+    arch1.train_steps_scan; body shared in parallel.dp.vqa_scan_steps)."""
+    return vqa_scan_steps(
+        loss_fn, cfg, tx, params, opt_state, data, rng, n_steps, batch_size
+    )
 
 
 def make_dp_steps_scan(cfg, tx, mesh, n_steps: int, batch_size: int, donate: bool = True):

@@ -93,7 +93,11 @@ def _seq2_kernel(
             c1 = jnp.where(m > 0, c1n, c1)
             h1 = jnp.where(m > 0, h1n, h1)
             hs1_ref[t] = h1.astype(bf)
-            d_new = (h1 * drop_ref[t].astype(f32)).astype(bf)
+            # layer 2 consumes exactly what the backward rebuilds from the
+            # SAVED bf16 h1 (see _fused2_bwd d1): multiply the stored
+            # rounding, not the f32 h1 — otherwise the backward linearizes
+            # at a last-bit-different point than the forward evaluated
+            d_new = (h1.astype(bf).astype(f32) * drop_ref[t].astype(f32)).astype(bf)
         if t > 0:
             gates2 = (
                 jnp.dot(d_prev, wx2_ref[:], preferred_element_type=f32)
@@ -130,7 +134,7 @@ def _seq2_forward(xs, mask, drop, wx1, wh1, b1, wx2, wh2, b2,
     mask3 = mask[:, :, None].astype(jnp.float32)
 
     grid = (pad_n // tile_n,)
-    tile3 = lambda width, dtype: pl.BlockSpec(
+    tile3 = lambda width: pl.BlockSpec(
         (T, tile_n, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     row = lambda width: pl.BlockSpec(
@@ -142,13 +146,13 @@ def _seq2_forward(xs, mask, drop, wx1, wh1, b1, wx2, wh2, b2,
         _seq2_kernel,
         grid=grid,
         in_specs=[
-            tile3(In, None), tile3(1, None), tile3(H, None),
+            tile3(In), tile3(1), tile3(H),
             full(wx1.shape), full(wh1.shape), full((1, 4 * H)),
             full(wx2.shape), full(wh2.shape), full((1, 4 * H)),
         ],
         out_specs=(
             row(H), row(H), row(H), row(H),
-            tile3(H, None), tile3(H, None),
+            tile3(H), tile3(H),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((pad_n, H), jnp.float32),

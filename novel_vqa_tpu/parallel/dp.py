@@ -215,6 +215,40 @@ def make_vqa_dp_indexed_step(
     )
 
 
+def vqa_scan_steps(
+    loss_fn: Callable, cfg, tx: optax.GradientTransformation,
+    params, opt_state, data, rng, n_steps: int, batch_size: int,
+    constrain: Callable | None = None,
+):
+    """THE multi-step sampled-index scan training body — on-device uniform
+    batch sampling (statistical parity with the reference's torch.random
+    draw, 002_train_baseline.lua:203), HBM-resident gather, fwd/bwd/update
+    per step, ``lax.scan`` over ``n_steps``.  Single source of the sampling
+    semantics: arch1.train_steps_scan, arch2.train_steps_scan, and the DP
+    builder below all delegate here (``constrain`` injects the DP sharding
+    constraint on the sampled index vector) so the single-device and DP
+    paths cannot drift."""
+    n = data["tokens"].shape[0]
+
+    def body(carry, step_rng):
+        params, opt_state = carry
+        k_sample, k_drop = jax.random.split(step_rng)
+        qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
+        if constrain is not None:
+            qinds = constrain(qinds)
+        tokens, image, labels = gather_batch(data, qinds)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, cfg, tokens, image, labels, k_drop
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    step_rngs = jax.random.split(rng, n_steps)
+    (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
+    return params, opt_state, losses
+
+
 def make_vqa_dp_steps_scan(
     loss_fn: Callable,
     cfg,
@@ -233,24 +267,11 @@ def make_vqa_dp_steps_scan(
     shard = NamedSharding(mesh, P("data"))
 
     def steps(params, opt_state, data, rng):
-        n = data["tokens"].shape[0]
-
-        def body(carry, step_rng):
-            params, opt_state = carry
-            k_sample, k_drop = jax.random.split(step_rng)
-            qinds = jax.random.randint(k_sample, (batch_size,), 0, n)
-            qinds = jax.lax.with_sharding_constraint(qinds, shard)
-            tokens, image, labels = _gather_batch(data, qinds)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cfg, tokens, image, labels, k_drop
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        step_rngs = jax.random.split(rng, n_steps)
-        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), step_rngs)
-        return params, opt_state, losses
+        return vqa_scan_steps(
+            loss_fn, cfg, tx, params, opt_state, data, rng,
+            n_steps, batch_size,
+            constrain=lambda q: jax.lax.with_sharding_constraint(q, shard),
+        )
 
     return jax.jit(
         steps,

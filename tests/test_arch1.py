@@ -127,3 +127,16 @@ def test_bf16_mixed_precision_close_to_f32_and_trains():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses[::10]
+
+
+def test_unknown_fusion_raises():
+    """A typo'd --fusion must raise at trace time, not silently route to the
+    wp fusion head (wrong scores, no error — round-4 review finding)."""
+    import pytest
+
+    cfg = tiny_cfg()._replace(fusion="aXb")
+    params = arch1.init_params(jax.random.PRNGKey(0), cfg._replace(fusion="axb"))
+    tokens = jnp.zeros((2, 6), jnp.int32)
+    image = jnp.zeros((2, 32), jnp.float32)
+    with pytest.raises(ValueError, match="fusion"):
+        arch1.apply(params, cfg, tokens, image, deterministic=True)
