@@ -374,10 +374,15 @@ def bench_text_ae():
     vocab = int(os.environ.get("BENCH_AE_VOCAB", 20000))
     scan_steps = int(os.environ.get("BENCH_AE_SCAN_STEPS", 25))
     chunks = int(os.environ.get("BENCH_AE_CHUNKS", 4))
+    ae_dtype = os.environ.get("BENCH_AE_DTYPE", "float32")
+    if ae_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"BENCH_AE_DTYPE={ae_dtype!r}: must be 'float32' or 'bfloat16'"
+        )
 
     cfg = ae.AEConfig(
         vocab_size=vocab, input_encoding_size=512, rnn_size=512, num_layers=1,
-        seq_length=seq, variant="text_nostart",
+        seq_length=seq, variant="text_nostart", compute_dtype=ae_dtype,
     )
     tx = make_tx(AETrainConfig())  # reference optimizer defaults (adam 1e-5)
     params = ae.init_params(jax.random.PRNGKey(123), cfg)
@@ -451,6 +456,8 @@ def bench_text_ae():
             "unit": "sentences_per_sec",
             "value": rec.get("items_per_sec"),
             "batch_size": batch_size,
+            "compute_dtype": ae_dtype,
+            "nll_unroll": os.environ.get("NOVEL_VQA_AE_NLL_UNROLL", "0") == "1",
             "val_loss": round(val_loss, 4),
             "val_loss_sane": bool(
                 np.isfinite(val_loss) and val_loss < 2.0 * np.log(vocab + 1)

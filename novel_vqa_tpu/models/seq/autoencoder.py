@@ -37,6 +37,7 @@ jitted step, replacing the reference's per-timestep weight-shared clone tables
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -59,6 +60,14 @@ class AEConfig(NamedTuple):
     dropout: float = 0.5  # -drop_prob_ae
     variant: str = "text_nostart"  # text_nostart | arch2 | vqa_arch | null
     nhimage: int = 0  # vqa_arch image feature width
+    # "bfloat16" = mixed precision, mirroring models/vqa/arch1.apply: bf16
+    # weights + activations in the forward, f32 matmul accumulation via the
+    # existing preferred_element_type pins (the logits/logsumexp/loss chain
+    # stays f32), f32 master weights + optimizer state.  The target is HBM
+    # traffic, not MXU rate: the (H, V+1) decoder projection is ~41 MB f32
+    # at reference sizes and is re-fetched every decode-scan step, forward
+    # and (recomputed) backward.  Default f32 — reference-parity numerics.
+    compute_dtype: str = "float32"
 
     @property
     def start_token(self) -> int:
@@ -130,6 +139,30 @@ def init_params(rng: jax.Array, cfg: AEConfig) -> Dict[str, Any]:
     return params
 
 
+def _cast_compute(cfg: AEConfig, params, *arrays):
+    """Apply ``cfg.compute_dtype`` at a public entry point: casts f32 param
+    leaves and float inputs to bf16 (no-op for "float32").  Master params
+    stay f32 outside the jitted step — the cast's transpose accumulates
+    grads back to f32 for the optimizer, exactly as in arch1."""
+    if cfg.compute_dtype == "float32":
+        return (params,) + arrays
+    if cfg.compute_dtype != "bfloat16":
+        raise ValueError(
+            f"cfg.compute_dtype={cfg.compute_dtype!r}: must be 'float32' or"
+            " 'bfloat16'"
+        )
+    cdt = jnp.bfloat16
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a, params
+    )
+    cast = lambda a: (
+        a.astype(cdt)
+        if a is not None and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+        else a
+    )
+    return (params,) + tuple(cast(a) for a in arrays)
+
+
 def _embed(
     params, cfg: AEConfig, tokens, rng, deterministic: bool
 ) -> jax.Array:
@@ -190,6 +223,7 @@ def encode(
     deterministic: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the variant's encoder; returns final (c, h) each (layers, N, H)."""
+    params, imgs = _cast_compute(cfg, params, imgs)
     L, N = seq.shape
     if rng is not None:
         k_emb, k_start, k_scan = jax.random.split(rng, 3)
@@ -337,8 +371,23 @@ def decode_teacher_forced_nll(
         return ((c, h), acc), None
 
     body = jax.checkpoint(body)
+    # Default ROLLED: this scan's body is rematerialized, so unlike the
+    # other short time loops (unrolled per the arch1 ~9% win) each unrolled
+    # iteration here duplicates a checkpointed 20k-wide projection in the
+    # HLO.  NOVEL_VQA_AE_NLL_UNROLL=1 is the on-device A/B knob (identical
+    # math either way, pinned by test).
+    T_dec = xs.shape[0]
+    unroll = (
+        T_dec
+        if T_dec <= 18
+        and os.environ.get("NOVEL_VQA_AE_NLL_UNROLL", "0") == "1"
+        else 1
+    )
     (_, loss_sum), _ = jax.lax.scan(
-        body, (init_state, jnp.float32(0.0)), (xs, step_rngs, gather_idx, scored)
+        body,
+        (init_state, jnp.float32(0.0)),
+        (xs, step_rngs, gather_idx, scored),
+        unroll=unroll,
     )
     n = jnp.sum(scored)
     return loss_sum / n.astype(jnp.float32), n
@@ -380,6 +429,7 @@ def apply(
     deterministic: bool = True,
 ) -> jax.Array:
     """Full AE forward -> (L+1, N, V+1) decoder logprobs."""
+    params, imgs, sent_input = _cast_compute(cfg, params, imgs, sent_input)
     state, k_dec = _decoder_start_state(
         params, cfg, seq, imgs, sent_input, seq_input, encoder_skip, rng,
         deterministic,
@@ -442,6 +492,7 @@ def apply_nll(
     """Full AE forward to the fused masked-NLL loss (never materializes the
     (L+1, N, V+1) logprobs — see decode_teacher_forced_nll).  Equal to
     ``sequence_nll(apply(...), seq)`` with the same rng."""
+    params, imgs, sent_input = _cast_compute(cfg, params, imgs, sent_input)
     state, k_dec = _decoder_start_state(
         params, cfg, seq, imgs, sent_input, seq_input, encoder_skip, rng,
         deterministic,
@@ -469,6 +520,7 @@ def sample(
     the arg-max (or temperature-sampled) token; returns
     (seq (L, N), logprobs-of-samples (L, N)).  Runs in evaluate mode."""
     c, h = init_state
+    params, c, h = _cast_compute(cfg, params, c, h)
     N = c.shape[1]
     dec = params["decoder"]
     L = cfg.seq_length

@@ -83,6 +83,11 @@ class AETrainConfig:
     # with both dispatch modes: per-step (host batch sharded) and
     # steps_per_dispatch > 1 (the DP scan, make_steps_scan(mesh=...))
     data_parallel: int = 0
+    # "bfloat16" = bf16 weights/activations in the forward with f32 masters
+    # + accumulation (models/seq/autoencoder.AEConfig.compute_dtype) —
+    # halves the per-decode-step HBM fetch of the (H, V+1) projection.
+    # Default f32 (reference-parity numerics).
+    compute_dtype: str = "float32"
 
 
 def make_tx(opt: AETrainConfig) -> optax.GradientTransformation:
@@ -209,6 +214,11 @@ def main(argv=None):
     ckpt_dir = opt.checkpoint_path or "."
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    if opt.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"--compute_dtype {opt.compute_dtype!r}: must be 'float32' or"
+            " 'bfloat16'"
+        )
     loader = CorpusLoader(opt.input_h5, opt.input_json)
     cfg = ae.AEConfig(
         vocab_size=loader.vocab_size,
@@ -218,6 +228,7 @@ def main(argv=None):
         seq_length=loader.seq_length,
         dropout=opt.drop_prob_ae,
         variant=opt.variant,
+        compute_dtype=opt.compute_dtype,
     )
     if opt.start_from:
         from novel_vqa_tpu.core.checkpoint import load_npz, unflatten_like

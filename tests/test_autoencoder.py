@@ -314,3 +314,120 @@ def test_apply_nll_matches_sequence_nll_all_variants():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6, err_msg=variant
             )
+
+
+def test_bf16_compute_close_to_f32_and_trains():
+    """compute_dtype="bfloat16" (mixed precision mirroring arch1): the fused
+    NLL stays close to f32, gradients w.r.t. the f32 masters stay f32, and a
+    few adam steps still reduce the loss.  Covers every variant's forward;
+    the training check runs the flagship text_nostart variant."""
+    rs = np.random.RandomState(7)
+    L, N, V = 6, 10, 25
+    seq_np = np.zeros((L, N), np.int32)
+    for i in range(N):
+        ln = rs.randint(1, L + 1)
+        seq_np[:ln, i] = rs.randint(1, V + 1, size=ln)
+    seq = jnp.asarray(seq_np)
+
+    for variant, kwargs in (
+        ("text_nostart", {}),
+        ("arch2", {"imgs": jnp.asarray(rs.randn(N, 12).astype(np.float32))}),
+        ("null", {
+            "imgs": jnp.asarray(rs.randn(N, 12).astype(np.float32)),
+            "seq_input": jnp.asarray(np.where(rs.rand(L, N) < 0.5, seq_np, 0)),
+        }),
+        ("vqa_arch", {
+            "imgs": jnp.asarray(rs.randn(N, 16).astype(np.float32)),
+            "sent_input": jnp.zeros((N, 2 * 14), jnp.float32),
+        }),
+    ):
+        mk = lambda dt: ae.AEConfig(
+            vocab_size=V, input_encoding_size=12, rnn_size=14, num_layers=1,
+            seq_length=L, variant=variant,
+            nhimage=16 if variant == "vqa_arch" else 0, compute_dtype=dt,
+        )
+        params = ae.init_params(jax.random.PRNGKey(3), mk("float32"))
+        rng = jax.random.PRNGKey(4)
+        loss32, n32 = ae.apply_nll(
+            params, mk("float32"), seq, rng=rng, deterministic=False, **kwargs
+        )
+        loss16, n16 = ae.apply_nll(
+            params, mk("bfloat16"), seq, rng=rng, deterministic=False, **kwargs
+        )
+        assert loss16.dtype == jnp.float32, variant  # loss chain stays f32
+        assert int(n16) == int(n32), variant
+        np.testing.assert_allclose(
+            float(loss16), float(loss32), rtol=3e-2, err_msg=variant
+        )
+
+    # masters stay f32: grads of the bf16 forward w.r.t. the f32 params
+    cfg16 = ae.AEConfig(
+        vocab_size=V, input_encoding_size=12, rnn_size=14, num_layers=1,
+        seq_length=L, variant="text_nostart", compute_dtype="bfloat16",
+    )
+    params = ae.init_params(jax.random.PRNGKey(3), cfg16)
+    grads = jax.grad(
+        lambda p: ae.apply_nll(
+            p, cfg16, seq, rng=jax.random.PRNGKey(4), deterministic=False
+        )[0]
+    )(params)
+    for g in jax.tree_util.tree_leaves(grads):
+        assert g.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    # trains: a few adam steps reduce the deterministic loss
+    tx = optax.adam(5e-2)
+    opt_state = tx.init(params)
+    det = lambda p: float(ae.apply_nll(p, cfg16, seq, deterministic=True)[0])
+    loss0 = det(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        loss, g = jax.value_and_grad(
+            lambda p: ae.apply_nll(
+                p, cfg16, seq, rng=rng, deterministic=False
+            )[0]
+        )(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(9)
+    for i in range(20):
+        params, opt_state, _ = step(params, opt_state, jax.random.fold_in(rng, i))
+    assert det(params) < loss0 - 0.2
+
+
+def test_compute_dtype_validated():
+    cfg = ae.AEConfig(vocab_size=5, compute_dtype="bf16")  # typo must raise
+    seq = jnp.zeros((3, 2), jnp.int32)
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ae.apply_nll(cfg=cfg, params=ae.init_params(jax.random.PRNGKey(0),
+                     cfg._replace(compute_dtype="float32")), seq=seq)
+
+
+def test_nll_unroll_knob_matches(monkeypatch):
+    """NOVEL_VQA_AE_NLL_UNROLL=1 (on-device A/B knob) is the identical
+    computation — same loss and gradients as the default rolled scan."""
+    rs = np.random.RandomState(1)
+    L, N, V = 5, 6, 20
+    seq = jnp.asarray(
+        np.where(np.arange(L)[:, None] < rs.randint(1, L + 1, size=N)[None, :],
+                 rs.randint(1, V + 1, size=(L, N)), 0).astype(np.int32)
+    )
+    cfg = ae.AEConfig(
+        vocab_size=V, input_encoding_size=8, rnn_size=10, num_layers=1,
+        seq_length=L, variant="text_nostart",
+    )
+    params = ae.init_params(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(2)
+    f = lambda p: ae.apply_nll(p, cfg, seq, rng=rng, deterministic=False)[0]
+    loss_rolled, g_rolled = jax.value_and_grad(f)(params)
+    monkeypatch.setenv("NOVEL_VQA_AE_NLL_UNROLL", "1")
+    loss_unrolled, g_unrolled = jax.value_and_grad(f)(params)
+    np.testing.assert_allclose(
+        float(loss_rolled), float(loss_unrolled), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_rolled), jax.tree_util.tree_leaves(g_unrolled)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
