@@ -61,8 +61,10 @@ def wait_for_backend():
     budget = float(os.environ.get("BENCH_TUNNEL_WAIT", 3600))
     deadline = time.monotonic() + budget
     attempt = 0
+    fast_failures = 0  # consecutive instant nonzero exits = broken env
     while True:
         attempt += 1
+        t0 = time.monotonic()
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -71,15 +73,30 @@ def wait_for_backend():
             )
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            # A tunnel outage HANGS the probe (TimeoutExpired); an instant
+            # nonzero exit means the probe subprocess itself is broken
+            # (unimportable jax, bad venv) and can never recover — fail
+            # fast instead of burning the whole outage budget on it.
+            if (isinstance(e, subprocess.CalledProcessError)
+                    and time.monotonic() - t0 < 10):
+                fast_failures += 1
+            else:
+                fast_failures = 0
             remaining = deadline - time.monotonic()
-            if remaining <= 0:
+            if remaining <= 0 or fast_failures >= 3:
+                why = ("probe subprocess exits nonzero instantly "
+                       "(broken environment, not a tunnel outage)"
+                       if fast_failures >= 3 else
+                       f"jax.devices() probe failed {attempt}x "
+                       f"over {budget:.0f}s")
                 print(json.dumps({
-                    "metric": "arch1_train_throughput",
+                    # same metric name as the success record so drivers that
+                    # key on the primary metric associate the outage with it
+                    "metric": "vqa_arch1_train_throughput",
                     "value": None,
                     "unit": "qa_pairs_per_sec",
                     "vs_baseline": None,
-                    "error": "device backend unreachable: jax.devices() probe "
-                             f"failed {attempt}x over {budget:.0f}s ({e!r})",
+                    "error": f"device backend unreachable: {why} ({e!r})",
                 }))
                 raise SystemExit(1)
             _log(f"backend probe {attempt} failed ({e!r}); "
@@ -783,6 +800,17 @@ def bench_fc7():
         rec["sustained_pipeline_wall_s"] = round(pipe_wall, 2)
         rec["sustained_pipeline_depth"] = depth
         rec["sustained_source"] = "measured_pipelined_loop"
+        # second pass with --fast_decode (the recommended-config flag,
+        # VERDICT round-3 item 1): same loop, DCT-downscaled decode — the
+        # sustained figure is decode-bound on this 1-core host, so this is
+        # where the fast path actually shows up end to end
+        if fast_rate:
+            _, fast_wall = run_pipelined_extraction(
+                [model], paths, batch, workers, fast_decode=True, depth=depth
+            )
+            rec["sustained_images_per_sec_measured_fast"] = round(
+                n_images / fast_wall, 2
+            )
     except Exception as e:  # keep the device metric robust
         _log("fc7: measured sustained pipeline failed:", repr(e))
     return rec

@@ -46,8 +46,14 @@ def run_full_split(
     num_output) f32 score matrix with pred/mc_pred None (callers argmax on
     host, preserving the reference's host-side MC semantics bit for bit).
     The streaming path only produces scores (``arch.eval_step``), so
-    ``want='predict'`` is invalid there — callers argmax the returned
-    scores instead."""
+    ``want='predict'`` is invalid there (raises) — callers argmax the
+    returned scores instead."""
+    if not hbm_resident and want == "predict":
+        raise ValueError(
+            "run_full_split: the streaming path (hbm_resident=False) only "
+            "produces scores (arch.eval_step) — pass want='scores' and "
+            "argmax on host (models/vqa/predict.host_mc_predict)"
+        )
     n = data.num_examples(split)
 
     if hbm_resident and not data_parallel:

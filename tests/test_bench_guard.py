@@ -39,6 +39,30 @@ def test_unreachable_backend_fails_loud(monkeypatch, capsys):
     rec = json.loads(out[0])
     assert rec["value"] is None
     assert "unreachable" in rec["error"]
+    # same metric name as the success record: drivers keying on the primary
+    # metric must be able to associate the outage record with it
+    assert rec["metric"] == "vqa_arch1_train_throughput"
+
+
+def test_broken_probe_env_fails_fast(monkeypatch, capsys):
+    # a probe subprocess that exits nonzero INSTANTLY (unimportable jax,
+    # broken venv) can never recover: the guard must give up after a few
+    # consecutive fast failures instead of burning the full outage budget
+    monkeypatch.setattr(sys, "executable", "/bin/false")
+    monkeypatch.setenv("BENCH_TUNNEL_WAIT", "3600")
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "5")
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    with pytest.raises(SystemExit) as exc:
+        bench.wait_for_backend()
+    assert exc.value.code == 1
+    # gave up on the 3rd consecutive fast failure: only two retry sleeps
+    # (the guard's sleeps are >= 1 s; subprocess.run's internal wait-loop
+    # sleeps, also captured by the patch, are millisecond-scale)
+    assert len([s for s in sleeps if s >= 1]) == 2
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["metric"] == "vqa_arch1_train_throughput"
+    assert "broken environment" in rec["error"]
 
 
 def test_primary_failure_still_emits_json_line(monkeypatch, capsys):

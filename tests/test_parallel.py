@@ -614,6 +614,19 @@ def test_eval_scores_scan_matches_streaming():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_run_full_split_streaming_rejects_want_predict():
+    """The streaming path (hbm_resident=False) only produces scores — asking
+    it for device-side predictions must raise at the shared driver (the
+    invariant lives there, not in per-caller guards)."""
+    from novel_vqa_tpu.train.eval_loop import run_full_split
+
+    with pytest.raises(ValueError, match="streaming path"):
+        run_full_split(
+            arch1, None, None, None, "test", 8,
+            hbm_resident=False, want="predict",
+        )
+
+
 def test_eval_forward_place_commits_replicated_params():
     """Both eval factories' ``place`` must commit a params-like pytree with
     the mesh's replicated sharding — an uncommitted params tree is otherwise
