@@ -45,20 +45,108 @@ def _log(*a):
     print(*a, file=sys.stderr)
 
 
+# Shared progress state for the watchdog (see _start_watchdog): main()
+# records completed workload results here so a deadline fire can still emit
+# them, and sets "done" once the final record has been printed.
+_progress = {"train": None, "secondary": [], "stage": "init", "done": False}
+
+
+def _emit_final(train, secondary, base, extra=None):
+    """Assemble and print THE one-line JSON record (also used by the
+    watchdog to flush partial results on a deadline fire)."""
+    vs = None
+    if train and train.get("items_per_sec") and base.get("torch_cpu_qa_pairs_per_sec"):
+        vs = train["items_per_sec"] / base["torch_cpu_qa_pairs_per_sec"]
+    out = {
+        "metric": "vqa_arch1_train_throughput",
+        "value": train.get("items_per_sec") if train else None,
+        "unit": "qa_pairs_per_sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }
+    for k in (
+        "timing_source",
+        "device_step_ms",
+        "mfu",
+        "flops_per_step",
+        "batch_size",
+        "wall_items_per_sec",
+        "wall_mfu",
+        "wall_clock_trusted",
+        "compute_dtype",
+    ):
+        if train and k in train:
+            out[k] = train[k]
+    if secondary:
+        out["secondary"] = secondary
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def _load_baseline():
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            return json.load(f)
+    return {}
+
+
+def _start_watchdog():
+    """Deadline guard against the tunnel dying MID-run (VERDICT round-4
+    weak item 2's other half): a hung jax call can't be bounded in-process,
+    so a daemon thread fires after BENCH_DEADLINE seconds (default 1560 —
+    the round-4 driver kill landed ~1800 s in, and a healthy full bench
+    finishes well before that; 0 disables) and, if the final record hasn't
+    been printed yet, emits whatever results completed so far as the
+    one-line JSON (with an ``error`` field naming the stage that hung) and
+    hard-exits.  The driver then records a parseable partial instead of
+    rc=124/parsed:null."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE", 1560))
+    if deadline <= 0:
+        return None
+
+    def fire():
+        if _progress["done"]:
+            return
+        _emit_final(
+            _progress["train"],
+            _progress["secondary"],
+            _load_baseline(),
+            extra={
+                "error": (
+                    f"bench watchdog: deadline {deadline:.0f}s expired during "
+                    f"stage {_progress['stage']!r} (backend likely hung "
+                    "mid-run); record carries the workloads that completed"
+                ),
+            },
+        )
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def wait_for_backend():
     """Bounded guard against a hung device backend (the axon TPU tunnel
     occasionally goes fully unresponsive: any process touching it blocks
     forever in backend init, so a bench launched during an outage would
     hang silently instead of recording anything).  Probes ``jax.devices()``
     in a SUBPROCESS with a timeout (the only way to bound a hung backend
-    init) and retries for up to BENCH_TUNNEL_WAIT seconds (default 3600 —
-    observed outages recover in <1 h); on a healthy backend (TPU up, or
-    JAX_PLATFORMS=cpu) the first probe returns in seconds.  Gives up with
-    a LOUD one-line JSON error on stdout and a nonzero exit, never a hang."""
+    init) and retries for up to BENCH_TUNNEL_WAIT seconds (default 600 —
+    kept WELL under the driver's observed ~1800 s kill window so the
+    give-up record always lands on stdout before an external kill; the
+    round-4 default of 3600 out-waited the driver and produced
+    parsed:null); on a healthy backend (TPU up, or JAX_PLATFORMS=cpu) the
+    first probe returns in seconds.  Gives up with a LOUD one-line JSON
+    error on stdout and a nonzero exit, never a hang."""
     import subprocess
 
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", 180))
-    budget = float(os.environ.get("BENCH_TUNNEL_WAIT", 3600))
+    budget = float(os.environ.get("BENCH_TUNNEL_WAIT", 600))
     deadline = time.monotonic() + budget
     attempt = 0
     fast_failures = 0  # consecutive instant nonzero exits = broken env
@@ -89,6 +177,7 @@ def wait_for_backend():
                        if fast_failures >= 3 else
                        f"jax.devices() probe failed {attempt}x "
                        f"over {budget:.0f}s")
+                _progress["done"] = True
                 print(json.dumps({
                     # same metric name as the success record so drivers that
                     # key on the primary metric associate the outage with it
@@ -816,6 +905,107 @@ def bench_fc7():
     return rec
 
 
+def bench_eval_scan():
+    """Secondary: full-split HBM-resident eval scan — the round-4 headline
+    inference path (ONE ``lax.scan`` dispatch over the whole split + device
+    argmax, a ~KB fetch), workload
+    /root/reference/002_train_vqa_arch1/004_eval_model.lua:202-231.
+    Driver-capture for the 592→60-118 s win that previously lived only in
+    REHEARSAL_r4.json/PERF.md (VERDICT round-4 item 4).  Sized small enough
+    to stay cheap in the bench budget (default 25k questions; the real
+    novel_v2 test split is ~121.5k — device ms/question is scale-free)."""
+    import jax
+    import jax.numpy as jnp
+
+    from novel_vqa_tpu.core import device_bench as db
+    from novel_vqa_tpu.models.vqa import arch1
+
+    batch_size = int(os.environ.get("BENCH_EVAL_BATCH", 500))
+    n_questions = int(os.environ.get("BENCH_EVAL_QUESTIONS", 25_000))
+    n_images = int(os.environ.get("BENCH_EVAL_IMAGES", 10_000))
+    chunks = int(os.environ.get("BENCH_EVAL_CHUNKS", 3))
+    n_batches = -(-n_questions // batch_size)
+
+    cfg = arch1.Arch1Config(vocab_size=12782)
+    params = arch1.init_params(jax.random.PRNGKey(123), cfg)
+    seq = 16
+    rs = np.random.RandomState(0)
+    lengths = rs.randint(3, seq + 1, size=n_questions)
+    cols = np.arange(seq)[None, :]
+    tokens_h = np.where(
+        cols >= (seq - lengths[:, None]),
+        rs.randint(1, cfg.vocab_size, size=(n_questions, seq)), 0,
+    ).astype(np.int32)
+    image_h = rs.randn(n_images, cfg.nhimage).astype(np.float32)
+    image_h /= np.linalg.norm(image_h, axis=1, keepdims=True)
+    data = {
+        "tokens": jnp.asarray(tokens_h),
+        "image": jnp.asarray(image_h),
+        "img_pos": jnp.asarray(rs.randint(1, n_images + 1, size=n_questions), jnp.int32),
+        "answers": jnp.asarray(
+            rs.randint(1, cfg.num_output + 1, size=n_questions), jnp.int32
+        ),
+        # MC choices so the scan exercises the argmax-over-choices head too
+        # (004_eval_model.lua's OE+MC dual output)
+        "mc_ans": jnp.asarray(
+            rs.randint(1, cfg.num_output + 1, size=(n_questions, 18)), jnp.int32
+        ),
+    }
+
+    # forward-only FLOPs: one eval batch, cross-checked against the analytic
+    # count (= train analytic / 3 — the scan itself undercounts, loop body
+    # counted once; CLAUDE.md trace caveats)
+    flops_per_dispatch = n_batches * _flops_per_step(
+        "eval_scan",
+        db.analytic_flops_arch1_step(cfg, batch_size, seq) / 3.0,
+        lambda: arch1.eval_step_indexed.lower(
+            cfg, params, data, jnp.zeros((batch_size,), jnp.int32)
+        ),
+    )
+
+    def one():
+        return arch1.eval_predict_scan(cfg, params, data, n_batches, batch_size)
+
+    out = one()
+    jax.device_get(out)  # compile + warm
+
+    # untraced wall window (see bench_train); dispatches are independent,
+    # forcing the last output forces the queue on a single ordered stream
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        out = one()
+    jax.device_get(out)
+    untraced_wall_s = time.perf_counter() - t0
+
+    timing = db.measure_device_time(one, chunks)
+    dev_s, n_mod = timing.module_seconds("jit_eval_predict_scan")
+    if dev_s is not None and n_mod != chunks:
+        _log(f"eval_scan: WARNING trace captured {n_mod}/{chunks} dispatches")
+        dev_s = dev_s * chunks / n_mod
+    rec = db.summarize(
+        flops_per_step=flops_per_dispatch,
+        device_s=dev_s,
+        n_steps=chunks,
+        items_per_step=n_batches * batch_size,
+        wall_s=untraced_wall_s,
+        peak=db.peak_flops(),
+    )
+    rec.update(
+        {
+            "metric": "vqa_eval_scan_throughput",
+            "unit": "questions_per_sec_per_chip",
+            "value": rec.get("items_per_sec"),
+            "batch_size": batch_size,
+            "n_questions": n_batches * batch_size,
+            "device_ms_per_question": (
+                round(rec["device_step_ms"] / (n_batches * batch_size), 6)
+                if rec.get("device_step_ms") else None
+            ),
+        }
+    )
+    return rec
+
+
 def bench_inception():
     """Secondary: Inception-v3 pool-tap extraction at the recommended config
     (bs 128, bf16 storage, 4-way branch fusion — docs/PERF.md round-4 A/B),
@@ -917,34 +1107,34 @@ def bench_inception():
 def main():
     from novel_vqa_tpu.core import compile_cache
 
+    _start_watchdog()  # mid-run hang guard: flush partial record + exit
+    _progress["stage"] = "backend_probe"
     wait_for_backend()  # bounded tunnel-outage guard: hang -> wait or loud error
     compile_cache.maybe_enable()  # NOVEL_VQA_COMPILE_CACHE=<dir>, opt-in
+    _progress["stage"] = "train"
     try:
         train = bench_train()
     except Exception as e:
         # a primary-workload failure (e.g. the tunnel dying mid-run) must
         # still leave ONE parseable JSON line for the driver, like the
         # wait_for_backend give-up path
+        _progress["done"] = True
         print(json.dumps({
             "metric": "vqa_arch1_train_throughput",
             "value": None,
             "unit": "qa_pairs_per_sec",
             "vs_baseline": None,
             "error": f"primary train bench failed: {e!r}",
-        }))
+        }), flush=True)
         raise SystemExit(1)
-    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    base = {}
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            base = json.load(f)
+    _progress["train"] = train
+    base = _load_baseline()
 
-    vs = None
-    if train.get("items_per_sec") and base.get("torch_cpu_qa_pairs_per_sec"):
-        vs = train["items_per_sec"] / base["torch_cpu_qa_pairs_per_sec"]
-
-    secondary = []
+    secondary = _progress["secondary"]
+    # ordered by importance: if the watchdog deadline fires mid-run, the
+    # partial record keeps the highest-value rows
     if os.environ.get("BENCH_SKIP_FC7", "0") != "1":
+        _progress["stage"] = "fc7"
         try:
             fc7 = bench_fc7()
             if fc7.get("value") and base.get("torch_cpu_fc7_images_per_sec"):
@@ -955,21 +1145,35 @@ def main():
         except Exception as e:  # keep the primary metric robust
             _log("fc7 bench failed:", repr(e))
     if os.environ.get("BENCH_SKIP_INC", "0") != "1":
+        _progress["stage"] = "inception"
         try:
             secondary.append(bench_inception())
         except Exception as e:  # keep the primary metric robust
             _log("inception bench failed:", repr(e))
-    if os.environ.get("BENCH_ARCH2", "0") == "1":
+    if os.environ.get("BENCH_SKIP_EVAL", "0") != "1":
+        _progress["stage"] = "eval_scan"
+        try:
+            secondary.append(bench_eval_scan())
+        except Exception as e:
+            _log("eval_scan bench failed:", repr(e))
+    # arch2 is opt-OUT (VERDICT round-4 item 7: the second north-star
+    # architecture must appear in the driver artifact without env flags);
+    # BENCH_ARCH2=0 / BENCH_SKIP_ARCH2=1 both skip
+    if (os.environ.get("BENCH_SKIP_ARCH2", "0") != "1"
+            and os.environ.get("BENCH_ARCH2", "1") != "0"):
+        _progress["stage"] = "arch2"
         try:
             secondary.append(bench_arch2())
         except Exception as e:
             _log("arch2 bench failed:", repr(e))
     if os.environ.get("BENCH_SKIP_WP", "0") != "1":
+        _progress["stage"] = "weakpaired"
         try:
             secondary.append(bench_weakpaired())
         except Exception as e:
             _log("weakpaired bench failed:", repr(e))
     if os.environ.get("BENCH_SKIP_AE", "0") != "1":
+        _progress["stage"] = "text_ae"
         try:
             ae_rec = bench_text_ae()
             if ae_rec.get("value") and base.get("torch_cpu_text_ae_sentences_per_sec"):
@@ -980,28 +1184,8 @@ def main():
         except Exception as e:
             _log("text_ae bench failed:", repr(e))
 
-    out = {
-        "metric": "vqa_arch1_train_throughput",
-        "value": train.get("items_per_sec"),
-        "unit": "qa_pairs_per_sec",
-        "vs_baseline": round(vs, 2) if vs is not None else None,
-    }
-    for k in (
-        "timing_source",
-        "device_step_ms",
-        "mfu",
-        "flops_per_step",
-        "batch_size",
-        "wall_items_per_sec",
-        "wall_mfu",
-        "wall_clock_trusted",
-        "compute_dtype",
-    ):
-        if k in train:
-            out[k] = train[k]
-    if secondary:
-        out["secondary"] = secondary
-    print(json.dumps(out))
+    _progress["done"] = True
+    _emit_final(train, secondary, base)
 
 
 if __name__ == "__main__":
