@@ -189,7 +189,14 @@ bool bilinear_resize(const uint8_t* src, int sw, int sh, int x0, int y0,
   for (int x = 0; x < dw; x++) {
     float fx = (x + 0.5f) * sx - 0.5f;
     // clamp to the crop so border weights stay in [0,1] (extrapolating
-    // weights > 1 can leave v outside [0,255] — UB on the uint8 cast)
+    // weights > 1 can leave v outside [0,255] — UB on the uint8 cast).
+    // NOTE: for sources SMALLER than the target (upscales), this upper
+    // clamp is a deliberate behavior change vs pre-round-4 binaries,
+    // which extrapolated the right/bottom border pixels with weight > 1:
+    // a feature store cached from an old .so will differ at those border
+    // pixels for sub-target images — a store-vs-store mismatch there is
+    // this fix, not drift (ADVICE round-4; the "bit-identical" claim
+    // above covers the table-izing of these expressions, not this clamp)
     if (fx < 0) fx = 0;
     if (fx > cw - 1) fx = float(cw - 1);
     int ix = int(fx);

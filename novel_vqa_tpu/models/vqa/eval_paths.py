@@ -58,7 +58,15 @@ def _gather_choices(data, qinds):
 def build_eval_fns(apply_fn):
     """Returns ``(eval_step_indexed, eval_predict_indexed,
     eval_predict_scan, eval_scores_scan)`` for one architecture's
-    ``apply``."""
+    ``apply``.
+
+    CAVEAT on the scan losses: the final chunk clamps out-of-range indices
+    to row ``n-1``, so its per-batch cross-entropy averages DUPLICATED rows
+    whenever ``n % batch_size != 0`` — the final-chunk loss term (and any
+    split loss derived from the scan outputs) is biased.  Every current
+    caller trims preds/scores by ``n`` and discards the losses; a caller
+    that starts consuming them must mask the padded rows first (ADVICE
+    round-4)."""
     from novel_vqa_tpu.models.vqa.predict import device_predict
 
     @functools.partial(jax.jit, static_argnums=(0,))

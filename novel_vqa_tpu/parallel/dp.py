@@ -90,7 +90,42 @@ class DeferredFetch:
         return self._out
 
 
+# (step, place) pairs memoized per (builder, eval_fn, cfg, batch_size,
+# data_parallel): the DP builders construct a mesh + a fresh jax.jit wrapper,
+# so same-shaped repeat calls in one process (lf_ensemble loops three splits
+# through run_full_split; repeated eval legs) would otherwise recompile a
+# minutes-long tunnel program each time (ADVICE round-4).  Keyed only for
+# mesh=None (the CLI path); an explicit mesh bypasses the cache — tests pass
+# their own meshes and must not leak state across mesh fixtures.
+_forward_cache: dict = {}
+
+
+def _cached(builder, eval_fn, cfg, batch_size, data_parallel, mesh):
+    if mesh is not None:
+        return builder(eval_fn, cfg, batch_size, data_parallel, mesh)
+    key = (builder.__name__, eval_fn, cfg, batch_size, data_parallel)
+    if key not in _forward_cache:
+        _forward_cache[key] = builder(eval_fn, cfg, batch_size, data_parallel)
+    return _forward_cache[key]
+
+
 def make_eval_forward(
+    eval_fn: Callable, cfg, batch_size: int, data_parallel: bool, mesh=None
+):
+    return _cached(_build_eval_forward, eval_fn, cfg, batch_size, data_parallel, mesh)
+
+
+def make_eval_forward_indexed(
+    eval_indexed_fn: Callable, cfg, batch_size: int, data_parallel: bool,
+    mesh=None,
+):
+    return _cached(
+        _build_eval_forward_indexed, eval_indexed_fn, cfg, batch_size,
+        data_parallel, mesh,
+    )
+
+
+def _build_eval_forward(
     eval_fn: Callable, cfg, batch_size: int, data_parallel: bool, mesh=None
 ):
     """CLI helper for the eval/LF-compute loops: returns ``(step, place)``
@@ -132,7 +167,7 @@ def make_eval_forward(
     return make_dp_eval_step(cfg, mesh, eval_fn), place
 
 
-def make_eval_forward_indexed(
+def _build_eval_forward_indexed(
     eval_indexed_fn: Callable, cfg, batch_size: int, data_parallel: bool,
     mesh=None,
 ):
@@ -142,6 +177,10 @@ def make_eval_forward_indexed(
     host->device transfer — and ``place(pytree)`` uploads a replicated
     operand ONCE with the sharding the step expects.  DP shards the index
     vector; store and params replicate (mesh.make_dp_eval_indexed_step).
+    NOTE the memory model this implies on a real multi-chip mesh: a
+    replicated store is a FULL COPY per device (a GB-scale split store x N
+    chips) — DP eval trades HBM for per-batch host traffic; shard the
+    store itself if a split ever outgrows one chip's HBM.
     Callers MUST place BOTH the store and the params through ``place``:
     an uncommitted operand would otherwise be re-replicated across the
     mesh on EVERY per-batch dispatch (~663 MB store x 243 batches at

@@ -40,8 +40,11 @@ def run_compute(args):
     )
 
     # model/forward AND the dataset are split-independent: build them ONCE.
-    # The jitted step then compiles once for all three full-split passes
-    # (tunnel compiles cost minutes each — docs/PERF.md), and the 1.83 GB
+    # NOTE what is and isn't shared: the dataset read and the params build
+    # are; the jitted scan is NOT — eval_scores_scan specializes on each
+    # split's store shapes and its static n_batches, so every split pays
+    # its own tunnel compile (minutes each, docs/PERF.md).  The remaining
+    # shared win: the 1.83 GB
     # train fc7 store is read + L2-normalized once instead of per split
     # (VQAData always loads train/val; per-split reconstruction measured
     # ~2 min of pure h5-read + renormalize overhead per extra split at

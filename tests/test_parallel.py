@@ -418,6 +418,38 @@ def test_make_eval_forward_cli_helper_rejects_indivisible_batch():
         make_eval_forward(arch1.eval_step, cfg, 30, True, mesh=make_mesh(8))
 
 
+def test_make_eval_forward_memoizes_same_shaped_calls():
+    """Same-shaped repeat calls (mesh=None, the CLI path) must return the
+    SAME (step, place) pair — lf_ensemble loops three splits through
+    run_full_split, and a fresh jax.jit wrapper per call recompiles a
+    minutes-long tunnel program each time (ADVICE round-4).  An explicit
+    mesh must bypass the cache (tests own their mesh fixtures)."""
+    from novel_vqa_tpu.parallel.dp import (
+        make_eval_forward,
+        make_eval_forward_indexed,
+    )
+
+    cfg = arch1.Arch1Config(
+        vocab_size=40, input_encoding_size=8, rnn_size=16, rnn_layer=1,
+        nhimage=16, common_embedding_size=12, num_output=5,
+    )
+    for factory, fn in (
+        (make_eval_forward, arch1.eval_step),
+        (make_eval_forward_indexed, arch1.eval_step_indexed),
+    ):
+        a = factory(fn, cfg, 40, True)
+        b = factory(fn, cfg, 40, True)
+        assert a[0] is b[0] and a[1] is b[1], factory.__name__
+        # different batch size -> different pair
+        c = factory(fn, cfg, 8, True)
+        assert c[0] is not a[0]
+        # explicit mesh bypasses the cache
+        m = make_mesh(8)
+        d1 = factory(fn, cfg, 40, True, mesh=m)
+        d2 = factory(fn, cfg, 40, True, mesh=m)
+        assert d1[0] is not d2[0]
+
+
 def test_deferred_fetch_order_and_depth():
     """parallel.dp.DeferredFetch must return results in put order with metas
     intact, materializing lazily (at most `depth` pending) — the shared
