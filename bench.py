@@ -779,9 +779,8 @@ def bench_fc7():
     # trace measures pure chip throughput (the /chip BASELINE metric)
     pool = DecodePool(size, crop, workers=workers)
     t0 = time.perf_counter()
-    host_batches = [
-        (u8, missing) for u8, missing, _ in pool.iter_batches(paths, batch)
-    ]
+    host_triples = list(pool.iter_batches(paths, batch))
+    host_batches = [(u8, missing) for u8, missing, _ in host_triples]
     decode_wall = time.perf_counter() - t0
     pool.close()
     decode_rate = n_images / decode_wall
@@ -900,6 +899,19 @@ def bench_fc7():
             rec["sustained_images_per_sec_measured_fast"] = round(
                 n_images / fast_wall, 2
             )
+        # DECODE-FREE CONTROL (VERDICT round-4 item 6): the same loop fed
+        # pre-decoded in-RAM batches — upload + dispatch + fetch only.  The
+        # gap between this ceiling and the measured sustained rate is what
+        # the decode stage costs end to end (including its competition with
+        # the main thread for the single host core); it turns the "host
+        # work steals the core" attribution into a measured number.
+        _, ctl_wall = run_pipelined_extraction(
+            [model], paths, batch, workers, depth=depth,
+            predecoded=host_triples,
+        )
+        rec["sustained_images_per_sec_nodecode_control"] = round(
+            n_images / ctl_wall, 2
+        )
     except Exception as e:  # keep the device metric robust
         _log("fc7: measured sustained pipeline failed:", repr(e))
     return rec

@@ -175,6 +175,7 @@ def build_model(
 def run_pipelined_extraction(
     models, paths, batch_size: int, decode_workers: int,
     fast_decode: bool = False, feats: "np.ndarray" = None, depth: int = 4,
+    predecoded=None,
 ):
     """The production extraction loop: deep software pipelining with
     ``depth`` batches in flight (the reference serializes decode, compute,
@@ -197,6 +198,13 @@ def run_pipelined_extraction(
     end-to-end pipeline — this is the *measured* sustained rate (bench.py
     reports it next to the modeled min(decode, device) figure).
 
+    ``predecoded``: a list of ``(u8, missing, real)`` host batches served
+    from RAM in place of the DecodePool — the DECODE-FREE CONTROL (VERDICT
+    round-4 item 6): the exact same loop pays only upload + dispatch +
+    fetch, so (sustained - control) isolates how much the decode stage
+    (and its competition for the single host core) costs end to end.
+    Single-model lists only (a control batch has one size/crop).
+
     Returns ``(feats (N, sum_dims) float32, wall_seconds)``.
     """
     from collections import deque
@@ -205,6 +213,8 @@ def run_pipelined_extraction(
 
     from novel_vqa_tpu.data.images import DecodePool
 
+    if predecoded is not None and len(models) != 1:
+        raise ValueError("predecoded control batches require a single model")
     depth = max(1, depth)
     total_dims = sum(m[3] for m in models)
     if feats is None:
@@ -212,8 +222,13 @@ def run_pipelined_extraction(
     t0 = time.perf_counter()
     col = 0
     for forward, size, crop, ndims in models:
-        pool = DecodePool(size, crop, workers=decode_workers,
-                          fast_decode=fast_decode, prefetch_depth=depth)
+        pool = None
+        if predecoded is None:
+            pool = DecodePool(size, crop, workers=decode_workers,
+                              fast_decode=fast_decode, prefetch_depth=depth)
+            batches = pool.iter_batches(paths, batch_size)
+        else:
+            batches = iter(predecoded)
         row = 0
         pending = deque()  # (device_result, row, real)
 
@@ -222,7 +237,7 @@ def run_pipelined_extraction(
                 pf, prow, preal = pending.popleft()
                 feats[prow : prow + preal, col : col + ndims] = np.asarray(pf)[:preal]
 
-        for u8, missing, real in pool.iter_batches(paths, batch_size):
+        for u8, missing, real in batches:
             dev = forward(jax.device_put(u8), jax.device_put(missing))
             try:  # start the device->host copy as soon as the result is ready
                 dev.copy_to_host_async()
@@ -232,7 +247,8 @@ def run_pipelined_extraction(
             row += real
             drain(depth - 1)
         drain(0)
-        pool.close()
+        if pool is not None:
+            pool.close()
         col += ndims
     return feats, time.perf_counter() - t0
 
