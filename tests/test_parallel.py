@@ -193,6 +193,54 @@ def test_graft_entry_contract():
     ge.dryrun_multichip(8)
 
 
+def test_graft_entry_backend_probe():
+    """The bounded backend probe behind entry()'s outage fallback: a probe
+    command that exits nonzero reads as unreachable, a clean one as healthy
+    (NOVEL_VQA_ENTRY_PROBE_CMD is the test seam — the real probe subprocess
+    imports jax, which a tunnel outage hangs)."""
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    import os
+
+    os.environ["NOVEL_VQA_ENTRY_PROBE_CMD"] = f"{sys.executable} -c pass"
+    try:
+        assert ge._backend_reachable() is True
+        os.environ["NOVEL_VQA_ENTRY_PROBE_CMD"] = (
+            f"{sys.executable} -c 'raise(SystemExit(1))'"
+        )
+        assert ge._backend_reachable() is False
+    finally:
+        del os.environ["NOVEL_VQA_ENTRY_PROBE_CMD"]
+
+
+def test_graft_entry_outage_fallback_subprocess():
+    """End-to-end failure path in a FRESH process: with the probe forced to
+    fail, entry() must force the CPU platform, still return a jittable
+    (fn, args), and the jit must execute — the driver's compile check then
+    completes on CPU during a tunnel outage instead of dying rc=124."""
+    import subprocess
+
+    code = (
+        "import os, sys\n"
+        + "os.environ['NOVEL_VQA_ENTRY_PROBE_CMD'] = sys.executable + "
+        "' -c \"raise(SystemExit(1))\"'\n"
+        + "sys.path.insert(0, '/root/repo')\n"
+        + "import __graft_entry__ as ge\n"
+        + "fn, args = ge.entry()\n"
+        + "import jax\n"
+        + "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+        + "out = jax.jit(fn)(*args)\n"
+        + "assert out.shape == (128, 1000)\n"
+        + "print('ENTRY_FALLBACK_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "ENTRY_FALLBACK_OK" in r.stdout
+    assert "forcing JAX_PLATFORMS=cpu" in r.stderr
+
+
 def test_text_ae_dp_scan_matches_single_device():
     """The text-AE DP multi-step scan (replicated corpus, index window
     sharding-constrained, grads psum) stays numerically close to the
