@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -49,6 +50,20 @@ def _log(*a):
 # records completed workload results here so a deadline fire can still emit
 # them, and sets "done" once the final record has been printed.
 _progress = {"train": None, "secondary": [], "stage": "init", "done": False}
+_emit_lock = threading.Lock()
+
+
+def _claim_emit() -> bool:
+    """Exactly-one-emitter guard for the final JSON record.  The watchdog's
+    deadline fire races main()'s own completion near the deadline; without
+    the claim both could print a JSON line (and os._exit(3) could truncate
+    the real one mid-write).  The single caller that flips ``done`` under
+    the lock gets to emit; everyone else stands down."""
+    with _emit_lock:
+        if _progress["done"]:
+            return False
+        _progress["done"] = True
+        return True
 
 
 def _emit_final(train, secondary, base, extra=None):
@@ -94,21 +109,29 @@ def _load_baseline():
 def _start_watchdog():
     """Deadline guard against the tunnel dying MID-run (VERDICT round-4
     weak item 2's other half): a hung jax call can't be bounded in-process,
-    so a daemon thread fires after BENCH_DEADLINE seconds (default 1560 —
-    the round-4 driver kill landed ~1800 s in, and a healthy full bench
-    finishes well before that; 0 disables) and, if the final record hasn't
+    so a daemon thread fires after BENCH_DEADLINE seconds (default 1380;
+    0 disables) and, if the final record hasn't
     been printed yet, emits whatever results completed so far as the
     one-line JSON (with an ``error`` field naming the stage that hung) and
     hard-exits.  The driver then records a parseable partial instead of
-    rc=124/parsed:null."""
-    import threading
+    rc=124/parsed:null.
 
-    deadline = float(os.environ.get("BENCH_DEADLINE", 1560))
+    Default calibration: the only hard evidence on the external kill window
+    is round 4's BENCH_r04.json tail — the probe message at t=1440 s printed,
+    the t=1860 s one did not, so the kill landed somewhere in [1440, 1860].
+    The deadline must sit BELOW the window's lower bound to guarantee the
+    partial record lands for any kill budget in that range: 1380 = 1440 − 60 s
+    margin.  The failure modes are asymmetric — a too-low deadline truncates
+    a slow-but-healthy run to a parseable partial (completed rows + an
+    ``error`` field), a too-high one reproduces rc=124/parsed:null — so when
+    in doubt, lower.  A warm full default set finishes in well under 1380 s;
+    a COLD one may not (see the compile-cache default in main())."""
+    deadline = float(os.environ.get("BENCH_DEADLINE", 1380))
     if deadline <= 0:
         return None
 
     def fire():
-        if _progress["done"]:
+        if not _claim_emit():
             return
         _emit_final(
             _progress["train"],
@@ -117,9 +140,12 @@ def _start_watchdog():
             extra={
                 "error": (
                     f"bench watchdog: deadline {deadline:.0f}s expired during "
-                    f"stage {_progress['stage']!r} (backend likely hung "
-                    "mid-run); record carries the workloads that completed"
+                    f"stage {_progress['stage']!r} — a hung backend OR a run "
+                    "legitimately slower than the deadline (cold tunnel "
+                    "compiles with no NOVEL_VQA_COMPILE_CACHE can dominate a "
+                    "first run); record carries the workloads that completed"
                 ),
+                "deadline_s": deadline,
             },
         )
         os._exit(3)
@@ -177,7 +203,8 @@ def wait_for_backend():
                        if fast_failures >= 3 else
                        f"jax.devices() probe failed {attempt}x "
                        f"over {budget:.0f}s")
-                _progress["done"] = True
+                if not _claim_emit():  # watchdog already emitted
+                    raise SystemExit(1)
                 print(json.dumps({
                     # same metric name as the success record so drivers that
                     # key on the primary metric associate the outage with it
@@ -1122,7 +1149,16 @@ def main():
     _start_watchdog()  # mid-run hang guard: flush partial record + exit
     _progress["stage"] = "backend_probe"
     wait_for_backend()  # bounded tunnel-outage guard: hang -> wait or loud error
-    compile_cache.maybe_enable()  # NOVEL_VQA_COMPILE_CACHE=<dir>, opt-in
+    # The bench (unlike the CLIs/tests) defaults the persistent compile
+    # cache ON: the driver runs `python bench.py` with no env at round end,
+    # and real-shape tunnel compiles are the one cost that can push a cold
+    # full default set past the BENCH_DEADLINE watchdog — any earlier
+    # same-host bench run pre-warms the cache for it.  Degrades to a no-op
+    # when the backend doesn't serialize executables (core/compile_cache.py
+    # scope notes); NOVEL_VQA_COMPILE_CACHE=0 opts out, any other value
+    # overrides the directory.
+    os.environ.setdefault("NOVEL_VQA_COMPILE_CACHE", "/tmp/nvqa_bench_xla_cache")
+    compile_cache.maybe_enable()
     _progress["stage"] = "train"
     try:
         train = bench_train()
@@ -1130,7 +1166,8 @@ def main():
         # a primary-workload failure (e.g. the tunnel dying mid-run) must
         # still leave ONE parseable JSON line for the driver, like the
         # wait_for_backend give-up path
-        _progress["done"] = True
+        if not _claim_emit():  # watchdog already emitted
+            raise SystemExit(1)
         print(json.dumps({
             "metric": "vqa_arch1_train_throughput",
             "value": None,
@@ -1196,8 +1233,8 @@ def main():
         except Exception as e:
             _log("text_ae bench failed:", repr(e))
 
-    _progress["done"] = True
-    _emit_final(train, secondary, base)
+    if _claim_emit():
+        _emit_final(train, secondary, base)
 
 
 if __name__ == "__main__":

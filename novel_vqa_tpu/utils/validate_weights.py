@@ -62,6 +62,19 @@ _MODEL_TAPS = {
 
 _EXT_IMPORTERS = (".npz", ".caffemodel", ".t7", ".pth")
 
+# filename -> model matching: ALL patterns in the tuple must match the
+# lowercased basename.  The published zoo names don't all contain the
+# literal "vgg16"/"vgg19" — the canonical Caffe files are
+# VGG_ILSVRC_16_layers.caffemodel / VGG_ILSVRC_19_layers.caffemodel
+# (/root/reference/002_train_vqa_arch1/001_prepro_img_vgg.lua:36) — so match
+# "vgg" plus a standalone depth number anywhere in the basename.  The
+# lookarounds keep "16" from matching inside "2016" or "160".
+_MODEL_NAME_PATTERNS = {
+    "vgg16": (r"vgg", r"(?<!\d)16(?!\d)"),
+    "vgg19": (r"vgg", r"(?<!\d)19(?!\d)"),
+    "inception": (r"inception",),  # inception, inception_v3, inceptionv3, ...
+}
+
 
 def discover_weights(weights_dir: str) -> Dict[str, str]:
     """Map model name -> weight file found under ``weights_dir`` (first
@@ -72,11 +85,8 @@ def discover_weights(weights_dir: str) -> Dict[str, str]:
         ext = os.path.splitext(base)[1]
         if ext not in _EXT_IMPORTERS:
             continue
-        for model in _MODEL_TAPS:
-            # "vgg16" must not match inside "vgg19" etc.; inception matches
-            # any inception-v3 naming (inception, inception_v3, inceptionv3)
-            if re.search(model if model != "inception" else r"inception",
-                         base):
+        for model, pats in _MODEL_NAME_PATTERNS.items():
+            if all(re.search(p, base) for p in pats):
                 rank = _EXT_IMPORTERS.index(ext)
                 if model not in found or rank < found[model][0]:
                     found[model] = (rank, path)
@@ -263,6 +273,9 @@ def run(argv=None) -> int:
 
     out = {"schema": SCHEMA, "prepro": args.prepro, "models": {}}
     failures: List[str] = []
+    n_compared = 0  # taps actually compared — PASS requires at least one
+    source_mismatch = False
+    img_cache: Dict[Tuple[int, bool], Tuple[np.ndarray, str]] = {}
     with tempfile.TemporaryDirectory(prefix="nvqa_valweights_") as workdir:
         for model, wfile in sorted(weight_files.items()):
             print(f"[{model}] weights: {wfile}", file=sys.stderr)
@@ -287,27 +300,43 @@ def run(argv=None) -> int:
                     model, npz, tap, seed=0, batch_size=1,
                     prepro_mode=args.prepro, image_size=args.image_size,
                 )
-                images, source = load_fixture_images(args.images, size, crop)
+                # decode once per (size, crop) — taps of one model (and VGG
+                # siblings) share the input resolution, so the image set
+                # and its source tag are identical across them
+                key = (size, crop)
+                if key not in img_cache:
+                    img_cache[key] = load_fixture_images(args.images, size, crop)
+                images, source = img_cache[key]
+                out["image_source"] = source
+                if fixtures is not None and fixtures.get("image_source") != source:
+                    # the source tag depends only on --images, not on the
+                    # model/tap: one mismatch invalidates every comparison,
+                    # so fail once and stop instead of per-tap repeats
+                    failures.append(
+                        f"image source {source!r} != fixture "
+                        f"{fixtures.get('image_source')!r} (different input "
+                        "images — re-record or fix --images)")
+                    source_mismatch = True
+                    break
                 import jax.numpy as jnp
 
                 feats = np.asarray(
                     forward(jnp.asarray(images),
                             jnp.asarray(np.zeros(len(images), bool)))
                 )
-                out["image_source"] = source
                 if fixtures is not None:
-                    if fixtures.get("image_source") != source:
+                    fx_tap = fx["taps"].get(tap)
+                    if fx_tap is None:
                         failures.append(
-                            f"{model}/{tap}: image source {source!r} != "
-                            f"fixture {fixtures.get('image_source')!r} "
-                            "(different input images — re-record or fix "
-                            "--images)")
+                            f"{model}/{tap}: fixture has no record for this "
+                            "tap (recorded with an older tap set? re-record)")
                         continue
                     errs = _tap_compare(
-                        f"{model}/{tap}", fx["taps"][tap], feats,
+                        f"{model}/{tap}", fx_tap, feats,
                         args.rtol, args.atol,
                     )
                     failures.extend(errs)
+                    n_compared += 1
                     print(f"[{model}] {tap}: "
                           + ("OK" if not errs else f"{len(errs)} mismatches"),
                           file=sys.stderr)
@@ -316,6 +345,8 @@ def run(argv=None) -> int:
                     print(f"[{model}] {tap}: recorded "
                           f"{tuple(feats.shape)}", file=sys.stderr)
             out["models"][model] = rec
+            if source_mismatch:
+                break
 
     if args.make_fixtures:
         with open(args.make_fixtures, "w") as f:
@@ -323,12 +354,24 @@ def run(argv=None) -> int:
         print(f"wrote {args.make_fixtures} "
               f"({len(out['models'])} models)", file=sys.stderr)
         return 0
+    fixture_only = sorted(set(fixtures.get("models", {})) - set(weight_files))
+    if fixture_only:
+        print(f"WARNING: fixture models not found under the weights "
+              f"location (not validated): {', '.join(fixture_only)}",
+              file=sys.stderr)
     if failures:
         for msg in failures:
             print(f"FAIL {msg}", file=sys.stderr)
         print(f"VALIDATION FAILED: {len(failures)} mismatches", file=sys.stderr)
         return 1
-    print("VALIDATION PASSED", file=sys.stderr)
+    if n_compared == 0:
+        # every discovered model was skipped for lacking a fixture entry (or
+        # nothing overlapped) — a green exit here would mean "validated
+        # nothing"; make it a hard error instead
+        print("ERROR: no tap was compared — discovered weights and fixture "
+              "entries do not overlap; nothing was validated", file=sys.stderr)
+        return 2
+    print(f"VALIDATION PASSED ({n_compared} taps compared)", file=sys.stderr)
     return 0
 
 

@@ -25,7 +25,7 @@ def test_healthy_backend_returns_fast(monkeypatch):
     bench.wait_for_backend()
 
 
-def test_unreachable_backend_fails_loud(monkeypatch, capsys):
+def test_unreachable_backend_fails_loud(monkeypatch, capsys, fresh_progress):
     # force every probe to fail (exit 1) and exhaust a zero budget: the
     # guard must emit ONE parseable JSON error line and SystemExit(1)
     monkeypatch.setattr(sys, "executable", "/bin/false")
@@ -44,7 +44,7 @@ def test_unreachable_backend_fails_loud(monkeypatch, capsys):
     assert rec["metric"] == "vqa_arch1_train_throughput"
 
 
-def test_broken_probe_env_fails_fast(monkeypatch, capsys):
+def test_broken_probe_env_fails_fast(monkeypatch, capsys, fresh_progress):
     # a probe subprocess that exits nonzero INSTANTLY (unimportable jax,
     # broken venv) can never recover: the guard must give up after a few
     # consecutive fast failures instead of burning the full outage budget
@@ -67,8 +67,9 @@ def test_broken_probe_env_fails_fast(monkeypatch, capsys):
 
 @pytest.fixture
 def fresh_progress(monkeypatch):
-    # the watchdog shares module-global progress state with main(); isolate
-    # each test with a fresh copy
+    # the watchdog and the emit paths share module-global progress state
+    # (incl. the claim-once "done" flag) with main(); isolate each test
+    # with a fresh copy so one test's emit can't mute another's
     state = {"train": None, "secondary": [], "stage": "init", "done": False}
     monkeypatch.setattr(bench, "_progress", state)
     return state
@@ -121,23 +122,37 @@ def test_watchdog_disabled_by_zero_deadline(monkeypatch, fresh_progress):
 
 
 def test_watchdog_default_beats_driver_kill_window(monkeypatch):
-    # the driver's observed kill window is ~1800 s (BENCH_r04.json: killed
-    # between the 1440 s and 1860 s probe messages); the watchdog default
-    # must flush BEFORE that, and the outage-guard default must give up
-    # (and print its record) before the watchdog fires
-    monkeypatch.delenv("BENCH_DEADLINE", raising=False)
-    monkeypatch.delenv("BENCH_TUNNEL_WAIT", raising=False)
+    # the driver's kill is only PROVEN to land in [1440, 1860] s
+    # (BENCH_r04.json: the t=1440 probe message printed, the t=1860 one did
+    # not), so the watchdog default must flush BEFORE the window's LOWER
+    # bound — 1560 would lose to a 1500 s driver budget — and the
+    # outage-guard default must give up (and print its record) before the
+    # watchdog fires
     import inspect
-    deadline = float(bench.os.environ.get("BENCH_DEADLINE", 1560))
-    assert deadline < 1800
+    src = inspect.getsource(bench._start_watchdog)
+    assert 'BENCH_DEADLINE", 1380' in src
+    assert 1380 < 1440
     src = inspect.getsource(bench.wait_for_backend)
     assert 'BENCH_TUNNEL_WAIT", 600' in src  # give-up record ~600s << deadline
 
 
-def test_primary_failure_still_emits_json_line(monkeypatch, capsys):
+def test_bench_defaults_the_compile_cache(monkeypatch):
+    # the driver runs `python bench.py` with no env: main() must default the
+    # persistent compile cache on (cold tunnel compiles are what can push a
+    # full run past the watchdog), overridable/disableable via the env var
+    import inspect
+    src = inspect.getsource(bench.main)
+    assert 'setdefault("NOVEL_VQA_COMPILE_CACHE"' in src
+
+
+def test_primary_failure_still_emits_json_line(monkeypatch, capsys,
+                                               fresh_progress):
     # if bench_train throws (tunnel dying mid-run), main() must still print
     # one parseable JSON line and exit nonzero
     monkeypatch.setattr(bench, "wait_for_backend", lambda: None)
+    # keep main()'s compile-cache default out of this test process (it would
+    # flip jax_compilation_cache_dir for the rest of the suite)
+    monkeypatch.setenv("NOVEL_VQA_COMPILE_CACHE", "0")
 
     def boom():
         raise RuntimeError("tunnel died mid-run")
@@ -150,3 +165,23 @@ def test_primary_failure_still_emits_json_line(monkeypatch, capsys):
     assert len(out) == 1
     rec = json.loads(out[0])
     assert rec["value"] is None and "tunnel died mid-run" in rec["error"]
+
+
+def test_exactly_one_emitter_wins_the_deadline_race(monkeypatch, capsys,
+                                                    fresh_progress):
+    # near the deadline the watchdog's fire and main's completion race;
+    # the claim-once guard must let exactly ONE of them print (two JSON
+    # lines — or a line truncated by os._exit — would corrupt the record)
+    assert bench._claim_emit() is True   # first claimant (say, main) wins
+    assert bench._claim_emit() is False  # the racing watchdog stands down
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    monkeypatch.setenv("BENCH_DEADLINE", "0.1")
+    import time as _time
+    t = bench._start_watchdog()
+    try:
+        _time.sleep(0.4)
+    finally:
+        t.cancel()
+    # the fired watchdog lost the claim: no exit, no second record
+    assert exits == [] and capsys.readouterr().out == ""

@@ -70,6 +70,53 @@ def test_discovery_maps_names_and_extensions(tmp_path):
     }
 
 
+def test_discovery_matches_published_zoo_names(tmp_path):
+    # the canonical Caffe zoo files have no literal "vgg16"/"vgg19"
+    # substring (001_prepro_img_vgg.lua:36) — "vgg" + standalone depth
+    # number must be enough, and "2016" must NOT read as a depth
+    for name in ("VGG_ILSVRC_16_layers.caffemodel",
+                 "VGG_ILSVRC_19_layers.caffemodel",
+                 "vgg_release_2016.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    found = discover_weights(str(tmp_path))
+    assert found == {
+        "vgg16": str(tmp_path / "VGG_ILSVRC_16_layers.caffemodel"),
+        "vgg19": str(tmp_path / "VGG_ILSVRC_19_layers.caffemodel"),
+    }
+
+
+def test_check_mode_refuses_to_pass_on_zero_comparisons(tmp_path, synth_vgg16):
+    # fixtures recorded for vgg16 only; weights dir holds only an
+    # unrelated-to-fixtures model name -> nothing overlaps -> rc 2, not a
+    # silent green PASS
+    _, wpath = synth_vgg16
+    fx = str(tmp_path / "fixtures.json")
+    assert run(["--weights", wpath, "--model", "vgg16",
+                "--make_fixtures", fx, "--image_size", "64"]) == 0
+    other = tmp_path / "weights_other"
+    other.mkdir()
+    save_npz(str(other / "vgg19_synth.npz"),
+             jax.device_get(vgg.init_params(
+                 jax.random.PRNGKey(3),
+                 vgg.VGGConfig(arch="vgg19", image_size=64))))
+    assert run(["--weights_dir", str(other), "--fixtures", fx,
+                "--image_size", "64"]) == 2
+
+
+def test_check_mode_fails_cleanly_on_missing_tap_entry(tmp_path, synth_vgg16):
+    # a fixture recorded before a tap rode along must FAIL with rc 1 (clean
+    # message), not crash with a KeyError traceback
+    _, wpath = synth_vgg16
+    fx = str(tmp_path / "fixtures.json")
+    assert run(["--weights", wpath, "--model", "vgg16",
+                "--make_fixtures", fx, "--image_size", "64"]) == 0
+    rec = json.load(open(fx))
+    del rec["models"]["vgg16"]["taps"]["fc8"]
+    json.dump(rec, open(fx, "w"))
+    assert run(["--weights", wpath, "--model", "vgg16",
+                "--fixtures", fx, "--image_size", "64"]) == 1
+
+
 def test_check_mode_requires_matching_image_source(tmp_path, synth_vgg16):
     _, wpath = synth_vgg16
     fx = str(tmp_path / "fixtures.json")
