@@ -142,8 +142,9 @@ def _start_watchdog():
                     f"bench watchdog: deadline {deadline:.0f}s expired during "
                     f"stage {_progress['stage']!r} — a hung backend OR a run "
                     "legitimately slower than the deadline (cold tunnel "
-                    "compiles with no NOVEL_VQA_COMPILE_CACHE can dominate a "
-                    "first run); record carries the workloads that completed"
+                    "compiles can dominate a FIRST run; the default compile "
+                    "cache only warms repeats); record carries the workloads "
+                    "that completed"
                 ),
                 "deadline_s": deadline,
             },
